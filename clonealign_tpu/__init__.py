@@ -1,0 +1,46 @@
+"""clonealign-tpu: TPU-native probabilistic assignment of scRNA-seq cells to
+cancer clones.
+
+A from-scratch JAX/XLA/Pallas reimplementation of the capabilities of
+kieranrcampbell/clonealign (Campbell et al., Genome Biology 2019): clones are
+defined by copy-number profiles from shallow scDNA-seq, and cells measured
+with scRNA-seq are assigned to them by reparametrization-gradient variational
+inference on a multinomial likelihood in which clone-specific gene copy
+numbers multiplicatively scale per-gene expression rates.
+
+Public API (mirrors the reference's exported surface, NAMESPACE:3-7):
+
+- :func:`clonealign` — fit a single model
+- :func:`run_clonealign` — multi-restart sweep, best-ELBO fit
+- :func:`preprocess_for_clonealign` — gene/cell filtering
+- :func:`plot_clonealign` — CNV-vs-expression diagnostic plot
+- :func:`recompute_clone_assignment` — re-threshold clone calls
+"""
+
+from .api import clonealign, saturate
+from .assign import clone_assignment, compute_correlations, recompute_clone_assignment
+from .fit import ClonealignFit, ConvergenceInfo
+from .preprocess import preprocess_for_clonealign
+from .restarts import run_clonealign
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "clonealign",
+    "run_clonealign",
+    "preprocess_for_clonealign",
+    "recompute_clone_assignment",
+    "clone_assignment",
+    "compute_correlations",
+    "saturate",
+    "ClonealignFit",
+    "ConvergenceInfo",
+    "__version__",
+]
+
+try:  # matplotlib is optional
+    from .plot import plot_clonealign  # noqa: F401
+
+    __all__.append("plot_clonealign")
+except ImportError:  # pragma: no cover
+    pass

@@ -1,0 +1,353 @@
+"""Public fit API: ``clonealign(...)`` (reference R/clonealign.R:184-305).
+
+Parameter names, defaults, and behavior match the reference's exported
+surface (SURVEY.md §2.3). Documented divergences from reference quirks
+(SURVEY.md §2.4):
+
+* allele mode uses the *intended* ``alt = cov - ref`` (the reference's public
+  API accidentally passes ``ref = cov``, zeroing alt counts —
+  reference R/clonealign.R:271);
+* ``fix_alpha`` actually fixes the clone priors at uniform (accepted but dead
+  in the reference);
+* ``initial_shrink`` implements the documented 0..10 warm-start temperature
+  (plumbed but unused in the reference); 5 reproduces reference behavior.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import assign as _assign
+from .fit import ClonealignFit, ConvergenceInfo
+from .infer import run_inference
+from .models import multinomial as mm
+from .models.allele import construct_ai_likelihood, sanitize_allele_info, snv_clone_probs
+
+
+def saturate(x, threshold=4):
+    """Clip copy numbers above threshold (reference R/clonealign.R:394-397)."""
+    return np.minimum(np.asarray(x, np.float64), float(threshold))
+
+
+def _parse_expression(gene_expression_data):
+    """Accept a cell-by-gene array, an ExampleSCE-style object with
+    ``.counts``/names, or an AnnData-style object with ``.X``
+    (reference R/clonealign.R:212-224 accepts SCE or matrix)."""
+    gene_names = cell_names = None
+    obj = gene_expression_data
+    if hasattr(obj, "counts"):
+        Y = np.asarray(obj.counts)
+        gene_names = list(getattr(obj, "gene_names", None) or [])
+        cell_names = list(getattr(obj, "cell_names", None) or [])
+    elif hasattr(obj, "X"):  # AnnData duck-type
+        X = obj.X
+        Y = np.asarray(X.todense() if hasattr(X, "todense") else X)
+        if hasattr(obj, "var_names"):
+            gene_names = [str(g) for g in obj.var_names]
+        if hasattr(obj, "obs_names"):
+            cell_names = [str(c) for c in obj.obs_names]
+    else:
+        Y = np.asarray(obj)
+        if hasattr(obj, "todense"):
+            Y = np.asarray(obj.todense())
+    if Y.ndim != 2:
+        raise ValueError("gene_expression_data must be a 2-D cell-by-gene matrix")
+    return Y.astype(np.float64), gene_names or None, cell_names or None
+
+
+def _parse_copy_number(copy_number_data, G):
+    """Accept (G, C) array or pandas-like with named clone columns
+    (reference R/clonealign.R:237-254)."""
+    clone_names = None
+    obj = copy_number_data
+    if hasattr(obj, "columns") and hasattr(obj, "values"):  # pandas-like
+        clone_names = [str(c) for c in obj.columns]
+        L = np.asarray(obj.values, np.float64)
+    elif isinstance(obj, dict):
+        clone_names = [str(c) for c in obj.keys()]
+        L = np.stack([np.asarray(v, np.float64) for v in obj.values()], axis=1)
+    else:
+        L = np.asarray(obj, np.float64)
+    if L.ndim == 1:
+        L = L[:, None]
+    if L.shape[0] != G:
+        raise ValueError(
+            "copy_number_data must have same number of genes (rows) as "
+            f"gene_expression_data: got {L.shape[0]} vs {G}"
+        )
+    if clone_names is None:
+        # reference default: clone_a, clone_b, ... (R/clonealign.R:252-254)
+        import string
+
+        letters = string.ascii_lowercase
+        clone_names = [
+            "clone_" + (letters[i] if i < 26 else str(i)) for i in range(L.shape[1])
+        ]
+    return L, clone_names
+
+
+class FitContext:
+    """Parsed, filtered, device-ready inputs shared by single- and
+    multi-restart fits."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def setup_fit(
+    gene_expression_data,
+    copy_number_data,
+    gene_filter_threshold: float = 0,
+    x=None,
+    clone_allele=None,
+    cov=None,
+    ref=None,
+    fix_alpha: bool = False,
+    dtype: str = "float32",
+    saturate: bool = True,
+    saturation_threshold: float = 6,
+    K: Optional[int] = None,
+    mc_samples: int = 1,
+    verbose: bool = True,
+    data_init_mu=True,
+) -> FitContext:
+    """Input parsing + filtering + device data prep
+    (reference R/clonealign.R:206-260 and R/inference-tflow.R:111-235)."""
+    Y, gene_names, _cell_names = _parse_expression(gene_expression_data)
+    N, G = Y.shape
+    if K is None:
+        K = 1  # reference R/clonealign.R:226-232 (both branches are 1)
+    K = int(K)
+
+    L, clone_names = _parse_copy_number(copy_number_data, G)
+    C = L.shape[1]
+
+    jdtype = {"float32": jnp.float32, "float64": jnp.float64}[dtype]
+
+    # --- gene filtering (reference R/inference-tflow.R:117-131) ---
+    low = Y.sum(axis=0) <= gene_filter_threshold
+    if verbose and low.any():
+        print(f"Removing {int(low.sum())} genes with low counts")
+    Y = Y[:, ~low]
+    L = L[~low]
+    if gene_names is not None:
+        retained_genes = [g for g, drop in zip(gene_names, low) if not drop]
+    else:
+        retained_genes = list(np.flatnonzero(~low))
+
+    if (Y.sum(axis=1) == 0).any():
+        raise ValueError("Some cells have no counts mapping")  # R/inference-tflow.R:212-214
+
+    # --- saturation (reference R/inference-tflow.R:142-144) ---
+    if saturate:
+        L = np.minimum(L, float(saturation_threshold))
+
+    # --- covariates ---
+    P = 0
+    if x is not None:
+        x = np.asarray(x, np.float64)
+        if x.ndim == 1:
+            x = x[:, None]
+        if x.shape[0] != N:
+            raise ValueError(f"x must have {N} rows (cells)")
+        P = x.shape[1]
+
+    # --- allele-specific setup (reference R/inference-tflow.R:166-187) ---
+    use_allele = clone_allele is not None and ref is not None and cov is not None
+    extra_log_lik = None
+    clone_probs_from_snv = None
+    if use_allele:
+        clone_allele = np.asarray(clone_allele, np.float64)
+        cov = np.asarray(cov, np.float64)
+        ref = np.asarray(ref, np.float64)
+        sanitize_allele_info(clone_allele, cov, ref, N, C)
+        cov_vn = cov.T
+        alt_vn = cov_vn - ref.T  # intended semantics; see module docstring
+        v_log_prob = construct_ai_likelihood(
+            jnp.asarray(clone_allele, jdtype),
+            jnp.asarray(alt_vn, jdtype),
+            jnp.asarray(cov_vn, jdtype),
+        )
+        extra_log_lik = v_log_prob
+        clone_probs_from_snv = np.asarray(snv_clone_probs(v_log_prob))
+
+    config = mm.ModelConfig(K=K, P=P, mc_samples=int(mc_samples), fix_alpha=fix_alpha)
+    data = mm.prepare_data(Y, L, x=x, dtype=jdtype)
+
+    return FitContext(
+        Y=Y,
+        L=L,
+        x=x,
+        clone_names=clone_names,
+        retained_genes=retained_genes,
+        config=config,
+        data=data,
+        jdtype=jdtype,
+        data_init_mu=data_init_mu,
+        extra_log_lik=extra_log_lik,
+        clone_probs_from_snv=clone_probs_from_snv,
+        verbose=verbose,
+    )
+
+
+def clonealign(
+    gene_expression_data,
+    copy_number_data,
+    max_iter: int = 200,
+    rel_tol: float = 1e-6,
+    gene_filter_threshold: float = 0,
+    learning_rate: float = 0.1,
+    x=None,
+    clone_allele=None,
+    cov=None,
+    ref=None,
+    fix_alpha: bool = False,
+    dtype: str = "float32",
+    saturate: bool = True,
+    saturation_threshold: float = 6,
+    K: Optional[int] = None,
+    mc_samples: int = 1,
+    verbose: bool = True,
+    initial_shrink: float = 5,
+    clone_call_probability: float = 0.95,
+    data_init_mu=True,
+    seed: Optional[int] = None,
+    key=None,
+) -> ClonealignFit:
+    """Assign scRNA-seq cells to clones of origin by variational inference.
+
+    Mirrors the reference's ``clonealign()`` signature and defaults
+    (reference R/clonealign.R:184-203) with one addition: reproducibility is
+    controlled by ``seed``/``key`` (JAX PRNG) instead of R's global RNG
+    (reference R/inference-tflow.R:49-51).
+    """
+    ctx = setup_fit(
+        gene_expression_data,
+        copy_number_data,
+        gene_filter_threshold=gene_filter_threshold,
+        x=x,
+        clone_allele=clone_allele,
+        cov=cov,
+        ref=ref,
+        fix_alpha=fix_alpha,
+        dtype=dtype,
+        saturate=saturate,
+        saturation_threshold=saturation_threshold,
+        K=K,
+        mc_samples=mc_samples,
+        verbose=verbose,
+        data_init_mu=data_init_mu,
+    )
+
+    if key is None:
+        key = jax.random.PRNGKey(0 if seed is None else int(seed))
+
+    # One fully-jitted program: init (PCA included) + warm start + Adam loop
+    # + final ELBO estimate. Data is closed over (device-resident constant).
+    Y_dev = jnp.asarray(ctx.Y, ctx.jdtype)
+    L_dev = jnp.asarray(ctx.L, ctx.jdtype)
+
+    @jax.jit
+    def _fit(k):
+        k_init, k_fit = jax.random.split(k)
+        params0 = mm.init_params(
+            Y_dev,
+            L_dev,
+            k_init,
+            K=ctx.config.K,
+            P=ctx.config.P,
+            data_init_mu=ctx.data_init_mu,
+            dtype=ctx.jdtype,
+        )
+        return run_inference(
+            params0,
+            ctx.data,
+            k_fit,
+            ctx.config,
+            max_iter=int(max_iter),
+            rel_tol=float(rel_tol),
+            learning_rate=float(learning_rate),
+            initial_shrink=float(initial_shrink),
+            extra_log_lik=ctx.extra_log_lik,
+        )
+
+    result = _fit(key)
+
+    return _package_fit(
+        result,
+        ctx.Y,
+        ctx.L,
+        ctx.clone_names,
+        ctx.retained_genes,
+        ctx.config,
+        clone_call_probability,
+        ctx.clone_probs_from_snv,
+        ctx.verbose,
+    )
+
+
+def _package_fit(
+    result,
+    Y,
+    L,
+    clone_names,
+    retained_genes,
+    config,
+    clone_call_probability,
+    clone_probs_from_snv,
+    verbose,
+) -> ClonealignFit:
+    """Fetch ML params and build the fit object
+    (reference R/inference-tflow.R:424-480, R/clonealign.R:283-303)."""
+    p = result.params
+    ml_params = {
+        "mu": np.asarray(jax.nn.softplus(p.qmu_loc)),
+        "clone_probs": np.asarray(jax.nn.softmax(p.gamma_logits, axis=1)),
+        "s": np.asarray(Y.sum(axis=1)),
+        "alpha": np.asarray(jax.nn.softmax(p.alpha_unconstr)),
+    }
+    if config.K > 0:
+        ml_params["psi"] = np.asarray(p.psi)
+        ml_params["W"] = np.asarray(p.W)
+        ml_params["chi"] = np.asarray(jnp.exp(p.chi_unconstr))
+    if config.P > 0:
+        ml_params["beta"] = np.asarray(p.beta)
+
+    n_iters = int(result.n_iters)
+    trace = np.asarray(result.elbo_trace)[: n_iters + 1]
+    conv = ConvergenceInfo(
+        final_elbo=float(result.final_elbo),
+        sd_final_elbo=float(result.sd_final_elbo),
+        elbo=trace,
+        n_iters=n_iters,
+    )
+    if not np.isfinite(trace[0]):
+        raise ValueError("Initial elbo is NA")  # reference R/inference-tflow.R:374-376
+
+    clones = _assign.clone_assignment(
+        ml_params["clone_probs"], clone_names, clone_call_probability
+    )
+
+    correlations = _assign.compute_correlations(Y, L, clones, clone_names)
+
+    finite = correlations[np.isfinite(correlations)]
+    if finite.size and np.quantile(finite, 0.25) < 0:
+        warnings.warn(
+            "Less than 75% of genes positively correlated with expression - "
+            "assignment may have failed"
+        )  # reference R/clonealign.R:296-300
+
+    return ClonealignFit(
+        clone=clones,
+        ml_params=ml_params,
+        convergence_info=conv,
+        retained_genes=retained_genes,
+        correlations=correlations,
+        clone_names=list(clone_names),
+        clone_probs_from_snv=clone_probs_from_snv,
+    )

@@ -1,0 +1,356 @@
+"""The clonealign probabilistic model as pure JAX functions.
+
+This reproduces the generative model + variational family of the reference
+(reference R/inference-tflow.R:238-342) but is *designed for TPU*, not
+translated. The reference builds a TF1 graph that materializes a
+(S, C, N, G) tensor of per-sample/clone/cell/gene multinomial probabilities
+(reference R/inference-tflow.R:288-296). Here the multinomial log-likelihood
+is decomposed algebraically so that tensor never exists:
+
+With m[s,g] = mu samples, L[g,c] = clone copy number, and
+rfe[n,g] = exp(psi_n . W_g + x_n . beta_g) the cell-specific multiplier,
+the (normalized-over-genes) multinomial log-probability of cell n under
+clone c is
+
+    log p(y_n | c) = log_binom[n]
+                   + sum_g y_ng log m[s,g]            (A2 = Y @ log m)
+                   + sum_g y_ng log rfe[n,g]          (A1, see below)
+                   + sum_g y_ng log L[g,c]            (B  = Y @ log L, constant)
+                   - t_n * log Z[s,c,n]
+
+    Z[s,c,n] = sum_g m[s,g] L[g,c] rfe[n,g]
+
+where t_n = sum_g y_ng. Because log rfe = psi W^T + X beta^T,
+
+    A1[n] = sum_k psi[n,k] (Y W)[n,k] + sum_p x[n,p] (Y beta)[n,p]
+
+— two thin (N,G)x(G,K) matmuls. Z is one (S*C,G)x(G,N) matmul. Everything
+lands on the MXU with O(N*G*(C+K)) FLOPs and O(N*G) memory, versus the
+reference's O(S*C*N*G) memory.
+
+ELBO term-by-term parity with the reference graph (including its quirks,
+SURVEY.md §2.4 items 6-7) is asserted against a float64 NumPy oracle in
+tests/test_elbo_parity.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LOG_2PI = math.log(2.0 * math.pi)
+
+
+# ---------------------------------------------------------------------------
+# Numerics helpers (reference R/inference-tflow.R:2-15)
+# ---------------------------------------------------------------------------
+
+def softplus(x):
+    return jax.nn.softplus(x)
+
+
+def safe_inverse_softplus(x):
+    """log(exp(x)-1) computed stably for positive x
+    (reference R/inference-tflow.R:6-11)."""
+    x = jnp.asarray(x)
+    return jnp.log(-jnp.expm1(-jnp.abs(x))) + jnp.maximum(x, 0.0)
+
+
+def _normal_log_prob(x, loc=0.0, scale=1.0):
+    z = (x - loc) / scale
+    return -0.5 * z * z - jnp.log(scale) - 0.5 * LOG_2PI
+
+
+# ---------------------------------------------------------------------------
+# Pytrees
+# ---------------------------------------------------------------------------
+
+class CloneAlignParams(NamedTuple):
+    """Free variables optimized jointly by Adam
+    (reference R/inference-tflow.R:240-273)."""
+
+    W: jax.Array             # (G, K) gene loadings, init 0
+    chi_unconstr: jax.Array  # (K,)  prior precision of W (chi = exp), init 0
+    psi: jax.Array           # (N, K) cell latent factors, init PCA
+    beta: jax.Array          # (G, P) covariate coefficients, init 0 (P may be 0)
+    alpha_unconstr: jax.Array  # (C,) clone mixing logits, init 0
+    qmu_loc: jax.Array       # (G,) variational loc of inv-softplus(mu)
+    qmu_log_scale: jax.Array  # (G,) log scale, init log(1)=0
+    gamma_logits: jax.Array  # (N, C) variational clone responsibilities
+
+
+class ModelData(NamedTuple):
+    """Static per-fit tensors (precomputed once, device-resident)."""
+
+    Y: jax.Array         # (N, G) counts as float
+    L: jax.Array         # (G, C) copy numbers (saturated)
+    X: Optional[jax.Array]  # (N, P) covariates or None
+    s: jax.Array         # (N,) per-cell totals (multinomial total_count)
+    log_binom: jax.Array  # (N,) lgamma(s+1) - sum_g lgamma(y+1)
+    YlogL: jax.Array     # (N, C) = sum_g xlogy(y_ng, L_gc), precomputed
+
+
+class ModelConfig(NamedTuple):
+    K: int = 1
+    P: int = 0
+    mc_samples: int = 1
+    fix_alpha: bool = False
+
+
+def prepare_data(Y, L, x=None, dtype=jnp.float32) -> ModelData:
+    """Build the device-resident data pytree.
+
+    ``YlogL`` uses xlogy semantics: a gene with zero copy number in clone c
+    contributes -inf to that clone's log-likelihood only for cells expressing
+    it. (The reference feeds probs straight into tfd.Multinomial, which yields
+    NaN for that corner; xlogy is the correct limit and agrees everywhere L>0.)
+    """
+    Y = jnp.asarray(Y, dtype)
+    L = jnp.asarray(L, dtype)
+    s = jnp.sum(Y, axis=1)
+    log_binom = jax.lax.lgamma(s + 1.0) - jnp.sum(jax.lax.lgamma(Y + 1.0), axis=1)
+    log_L_safe = jnp.where(L > 0, jnp.log(jnp.where(L > 0, L, 1.0)), 0.0)
+    B = Y @ log_L_safe
+    hits_zero = (Y @ (L <= 0).astype(dtype)) > 0
+    B = jnp.where(hits_zero, -jnp.inf, B)
+    X = None if x is None else jnp.asarray(x, dtype)
+    return ModelData(Y=Y, L=L, X=X, s=s, log_binom=log_binom, YlogL=B)
+
+
+# ---------------------------------------------------------------------------
+# Initialization (reference R/inference-tflow.R:204-273)
+# ---------------------------------------------------------------------------
+
+def _standardize(x, axis=0, ddof=1):
+    mu = jnp.mean(x, axis=axis, keepdims=True)
+    sd = jnp.std(x, axis=axis, keepdims=True, ddof=ddof)
+    return (x - mu) / jnp.where(sd == 0, 1.0, sd)
+
+
+def randomized_pca(X, k: int, key, oversample: int = 8, power_iters: int = 4):
+    """Top-k PCA scores via randomized subspace iteration.
+
+    The reference runs full ``prcomp`` on log2(Y+1)
+    (reference R/inference-tflow.R:204) — O(G^3). A randomized range finder
+    gives the same top-k subspace with a handful of tall-skinny matmuls,
+    which is the TPU-appropriate algorithm at 100k x 5k scale.
+    """
+    n, g = X.shape
+    k_eff = min(k + oversample, min(n, g))
+    Xc = _standardize(X, axis=0)
+    omega = jax.random.normal(key, (g, k_eff), X.dtype)
+    Q = Xc @ omega
+    for _ in range(power_iters):
+        Q, _ = jnp.linalg.qr(Q)
+        Q, _ = jnp.linalg.qr(Xc @ (Xc.T @ Q))
+    B = Q.T @ Xc  # (k_eff, g)
+    _, _, Vt = jnp.linalg.svd(B, full_matrices=False)
+    scores = Xc @ Vt[:k].T  # (n, k)
+    return scores
+
+
+def init_params(
+    Y,
+    L,
+    key,
+    K: int = 1,
+    P: int = 0,
+    data_init_mu=True,
+    dtype=jnp.float32,
+) -> CloneAlignParams:
+    """Initial parameter values (reference R/inference-tflow.R:204-273).
+
+    - psi: PCA of log2(Y+1) (centered+scaled), re-standardized, +N(0,0.05)
+    - qmu_loc: inv-softplus of colMeans(Y / rowMeans(Y)) (or ones)
+    - everything else zeros
+    """
+    Y = jnp.asarray(Y, dtype)
+    N, G = Y.shape
+    C = L.shape[1]
+    k_pca, k_jitter = jax.random.split(key)
+
+    if K > 0:
+        pcs = randomized_pca(jnp.log2(Y + 1.0), K, k_pca)
+        pcs = _standardize(pcs, axis=0)
+        pcs = pcs + 0.05 * jax.random.normal(k_jitter, pcs.shape, dtype)
+    else:
+        pcs = jnp.zeros((N, 0), dtype)
+
+    if isinstance(data_init_mu, (bool, np.bool_)):
+        if data_init_mu:
+            mu_guess = jnp.mean(Y / jnp.mean(Y, axis=1, keepdims=True), axis=0)
+        else:
+            mu_guess = jnp.ones((G,), dtype)
+    else:
+        mu_guess = jnp.asarray(data_init_mu, dtype)
+        mu_guess = mu_guess / jnp.mean(mu_guess)
+
+    return CloneAlignParams(
+        W=jnp.zeros((G, max(K, 0)), dtype),
+        chi_unconstr=jnp.zeros((max(K, 0),), dtype),
+        psi=pcs.astype(dtype),
+        beta=jnp.zeros((G, P), dtype),
+        alpha_unconstr=jnp.zeros((C,), dtype),
+        qmu_loc=safe_inverse_softplus(mu_guess).astype(dtype),
+        qmu_log_scale=jnp.zeros((G,), dtype),
+        gamma_logits=jnp.zeros((N, C), dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Likelihood + ELBO
+# ---------------------------------------------------------------------------
+
+def sample_mu_base(params: CloneAlignParams, key, mc_samples: int):
+    """Reparametrized base-normal draws; mu = softplus(base)
+    (reference R/inference-tflow.R:258-269)."""
+    G = params.qmu_loc.shape[0]
+    eps = jax.random.normal(key, (mc_samples, G), params.qmu_loc.dtype)
+    return params.qmu_loc[None, :] + jnp.exp(params.qmu_log_scale)[None, :] * eps
+
+
+def log_p_y_on_c(
+    params: CloneAlignParams,
+    data: ModelData,
+    mu_base: jax.Array,
+    extra_log_lik: Optional[jax.Array] = None,
+):
+    """(S, C, N) expression log-likelihood, decomposed form (module docstring).
+
+    ``extra_log_lik`` is an optional (N, C) addition — the allele-specific
+    beta-binomial term (reference R/inference-tflow.R:302-304).
+    """
+    mu_samples = softplus(mu_base)  # (S, G)
+    log_mu = jnp.log(mu_samples)
+
+    K = params.W.shape[1]
+    P = params.beta.shape[1]
+    # A1[n] = sum_g y_ng * log rfe[n,g]; log rfe = psi W^T (+ X beta^T)
+    if K > 0:
+        A1 = jnp.sum(params.psi * (data.Y @ params.W), axis=1)  # (N,)
+    else:
+        A1 = jnp.zeros(data.Y.shape[0], data.Y.dtype)
+    if P > 0:
+        A1 = A1 + jnp.sum(data.X * (data.Y @ params.beta), axis=1)
+
+    A2 = data.Y @ log_mu.T  # (N, S)
+
+    # Z[s,c,n] = sum_g m[s,g] L[g,c] rfe[n,g]
+    mL = mu_samples[:, None, :] * data.L.T[None, :, :]  # (S, C, G)
+    if K > 0 or P > 0:
+        log_rfe = params.psi @ params.W.T
+        if P > 0:
+            log_rfe = log_rfe + data.X @ params.beta.T
+        rfe = jnp.exp(log_rfe)  # (N, G)
+        Z = jnp.einsum("scg,ng->scn", mL, rfe)
+    else:
+        Z = jnp.sum(mL, axis=2)[:, :, None] * jnp.ones(
+            (1, 1, data.Y.shape[0]), data.Y.dtype
+        )
+
+    ll = (
+        data.log_binom[None, None, :]
+        + A1[None, None, :]
+        + A2.T[:, None, :]
+        + data.YlogL.T[None, :, :]
+        - data.s[None, None, :] * jnp.log(Z)
+    )  # (S, C, N)
+    if extra_log_lik is not None:
+        ll = ll + extra_log_lik.T[None, :, :]
+    return ll
+
+
+def elbo(
+    params: CloneAlignParams,
+    data: ModelData,
+    key,
+    config: ModelConfig,
+    extra_log_lik: Optional[jax.Array] = None,
+):
+    """The evidence lower bound (reference R/inference-tflow.R:298-336).
+
+    Reproduces the reference's exact objective, including its quirks
+    (SURVEY.md §2.4): the mu prior is Normal(0,1) on log(mu) *without* a
+    Jacobian (item 6), and the Dirichlet prior is evaluated at
+    softmax(alpha)+1e-3, off the simplex (item 7).
+    """
+    S = config.mc_samples
+    mu_base = sample_mu_base(params, key, S)
+    mu_samples = softplus(mu_base)
+
+    p_y = log_p_y_on_c(params, data, mu_base, extra_log_lik)  # (S, C, N)
+
+    gamma = jax.nn.softmax(params.gamma_logits, axis=1)  # (N, C)
+    log_gamma = jax.nn.log_softmax(params.gamma_logits, axis=1)
+
+    E_p_y_on_c = jnp.mean(p_y, axis=0)  # (C, N)
+    EE_p_y = jnp.sum(gamma * E_p_y_on_c.T)
+
+    if config.fix_alpha:
+        # Documented-but-dead reference flag (SURVEY.md §2.4 item 2),
+        # implemented properly: clone priors pinned at uniform.
+        log_alpha = jax.nn.log_softmax(jnp.zeros_like(params.alpha_unconstr))
+    else:
+        log_alpha = jax.nn.log_softmax(params.alpha_unconstr)
+
+    C = log_alpha.shape[0]
+    # E_q[log p(theta)] (reference R/inference-tflow.R:322-324)
+    dir_conc = 1.0 / C
+    dir_x = jnp.exp(log_alpha) + 1e-3
+    dirichlet_lp = jnp.sum((dir_conc - 1.0) * jnp.log(dir_x)) - (
+        C * jax.lax.lgamma(jnp.asarray(dir_conc, dir_x.dtype))
+    )
+    E_log_p_p = (
+        jnp.sum(log_alpha[None, :] * gamma)
+        + jnp.sum(_normal_log_prob(jnp.log(mu_samples))) / S
+        + dirichlet_lp
+    )
+
+    K = config.K
+    if K > 0:
+        chi = jnp.exp(params.chi_unconstr)
+        w_scale = jnp.sqrt(1.0 / chi)  # (K,)
+        W_lp = jnp.sum(_normal_log_prob(params.W, 0.0, w_scale[None, :]))
+        # Gamma(2, 1): (2-1) log x - x - lgamma(2) = log x - x
+        chi_lp = jnp.sum(jnp.log(chi) - chi)
+        psi_lp = jnp.sum(_normal_log_prob(params.psi))
+        E_log_p_p = E_log_p_p + W_lp + chi_lp + psi_lp
+
+    # E_q[log q] (reference R/inference-tflow.R:332-333). qmu log-prob uses
+    # the change of variables through the softplus bijector: with
+    # y = base-normal draw, log q(mu) = N(y; loc, scale) - log sigmoid(y).
+    scale = jnp.exp(params.qmu_log_scale)
+    qmu_lp = _normal_log_prob(mu_base, params.qmu_loc[None, :], scale[None, :])
+    qmu_lp = qmu_lp - jax.nn.log_sigmoid(mu_base)
+    gamma_entropy_term = jnp.sum(jnp.where(gamma == 0, 0.0, gamma * log_gamma))
+    E_log_q = jnp.sum(jnp.mean(qmu_lp, axis=0)) + gamma_entropy_term
+
+    return EE_p_y + E_log_p_p - E_log_q
+
+
+def gamma_warm_start_logits(
+    params: CloneAlignParams,
+    data: ModelData,
+    key,
+    config: ModelConfig,
+    initial_shrink: float = 5.0,
+    extra_log_lik: Optional[jax.Array] = None,
+):
+    """Likelihood-based responsibility warm start
+    (reference R/inference-tflow.R:338-342,367-369).
+
+    The reference always uses full-strength normalized log-likelihoods. Here
+    ``initial_shrink`` is implemented as documented in the reference docs
+    (reference R/clonealign.R:16-21, never wired up there — SURVEY.md §2.4
+    item 3): logits are scaled by shrink/5, so 0 = uniform init, 5 = the
+    reference's exact behavior, 10 = sharper ("semi-hard") assignment.
+    """
+    mu_base = sample_mu_base(params, key, config.mc_samples)
+    p_y = log_p_y_on_c(params, data, mu_base, extra_log_lik)  # (S, C, N)
+    g = jnp.sum(p_y, axis=0)  # (C, N)
+    g = g - jax.scipy.special.logsumexp(g, axis=0, keepdims=True)
+    return (initial_shrink / 5.0) * g.T  # (N, C)

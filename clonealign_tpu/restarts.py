@@ -1,0 +1,118 @@
+"""Multi-restart driver (reference R/clonealign.R:35-75).
+
+The reference runs ``length(initial_shrinks) x n_repeats`` fits *sequentially*
+in one R process and keeps the best-ELBO fit. Here all restarts run as one
+``vmap``'d program — a single XLA computation batching every restart's Adam
+loop — so on TPU the whole sweep costs roughly one fit's wall-clock. Lanes
+that converge early freeze in place (see infer.py) while the rest continue.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import assign as _assign
+from .api import _package_fit, setup_fit
+from .infer import run_inference
+from .models import multinomial as mm
+
+
+def run_clonealign(
+    gene_expression_data,
+    copy_number_data,
+    initial_shrinks: Sequence[float] = (0, 5, 10),
+    n_repeats: int = 3,
+    print_elbos: bool = True,
+    max_iter: int = 200,
+    rel_tol: float = 1e-6,
+    learning_rate: float = 0.1,
+    clone_call_probability: float = 0.95,
+    seed: Optional[int] = None,
+    key=None,
+    **kwargs,
+):
+    """Sweep restarts, return the max-ELBO fit with ``multirun_info`` attached
+    (reference R/clonealign.R:35-75). Extra kwargs go to the model setup
+    (same names as :func:`clonealign`).
+    """
+    verbose = kwargs.get("verbose", True)
+    ctx = setup_fit(gene_expression_data, copy_number_data, **kwargs)
+
+    shrinks = np.asarray(
+        [s for s in initial_shrinks for _ in range(n_repeats)], np.float64
+    )
+    R = len(shrinks)
+    if key is None:
+        key = jax.random.PRNGKey(0 if seed is None else int(seed))
+    keys = jax.random.split(key, R)
+
+    def one_fit(k, shrink):
+        k_init, k_fit = jax.random.split(k)
+        params0 = mm.init_params(
+            ctx.Y,
+            ctx.L,
+            k_init,
+            K=ctx.config.K,
+            P=ctx.config.P,
+            data_init_mu=ctx.data_init_mu,
+            dtype=ctx.jdtype,
+        )
+        return run_inference(
+            params0,
+            ctx.data,
+            k_fit,
+            ctx.config,
+            max_iter=int(max_iter),
+            rel_tol=float(rel_tol),
+            learning_rate=float(learning_rate),
+            initial_shrink=shrink,
+            extra_log_lik=ctx.extra_log_lik,
+        )
+
+    results = jax.jit(jax.vmap(one_fit))(keys, jnp.asarray(shrinks, ctx.jdtype))
+
+    final_elbos = np.asarray(results.final_elbo)
+    if print_elbos and verbose:
+        print("ELBOs: ", " ".join(str(e) for e in final_elbos))
+
+    best = int(np.argmax(final_elbos))
+    best_result = jax.tree.map(lambda a: a[best], results)
+
+    fit = _package_fit(
+        best_result,
+        ctx.Y,
+        ctx.L,
+        ctx.clone_names,
+        ctx.retained_genes,
+        ctx.config,
+        clone_call_probability,
+        ctx.clone_probs_from_snv,
+        verbose,
+    )
+
+    # multirun_info (reference R/clonealign.R:67-73)
+    prevalences = []
+    median_correlations = []
+    all_gamma = np.asarray(jax.nn.softmax(results.params.gamma_logits, axis=-1))
+    for r in range(R):
+        clones_r = _assign.clone_assignment(
+            all_gamma[r], ctx.clone_names, clone_call_probability
+        )
+        labels, counts = np.unique(np.asarray(clones_r, object), return_counts=True)
+        prevalences.append(dict(zip([str(l) for l in labels], counts.tolist())))
+        corr_r = _assign.compute_correlations(ctx.Y, ctx.L, clones_r, ctx.clone_names)
+        finite = corr_r[np.isfinite(corr_r)]
+        median_correlations.append(float(np.median(finite)) if finite.size else np.nan)
+
+    fit.multirun_info = {
+        "elbos": final_elbos,
+        "clone_prevalences_at_different_shrinks": prevalences,
+        "median_correlations": np.asarray(median_correlations),
+        "initial_shrinks": shrinks,
+        "best_run": best,
+    }
+    return fit

@@ -1,7 +1,11 @@
-"""Test configuration: force an 8-device virtual CPU mesh before JAX import.
+"""Test configuration: force an 8-device virtual CPU mesh before JAX use.
 
 Mirrors SURVEY.md §4's "multi-node without a real cluster" strategy — sharding
 logic is exercised on host-platform virtual devices so the suite runs anywhere.
+
+Note: on this machine the axon TPU plugin ignores the JAX_PLATFORMS env var,
+so we also set the config flag programmatically; eager dispatch over the TPU
+tunnel is ~40ms/op, which would make the suite unusably slow.
 """
 
 import os
@@ -10,5 +14,11 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-# Keep tests deterministic and fast on CPU.
+# Enable x64 so float64 oracle comparisons are exact; the production TPU path
+# remains float32.
 os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
