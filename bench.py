@@ -1,0 +1,117 @@
+"""Headline benchmark: large-scale clone assignment throughput.
+
+Config (BASELINE.json config 5, single-chip share): 100k cells x 5k genes x
+10 clones, 10 restarts, full VI fit each. Baseline target is the driver-set
+"100k x 5k x 10 with 10 restarts < 60 s on v5e-8", i.e. 100k*10/60 ~= 16.7k
+cells-assigned/sec on 8 chips -> 2083/sec per-chip share. vs_baseline is
+measured throughput over that per-chip share.
+
+Prints ONE JSON line. Smaller smoke config via BENCH_SMOKE=1.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def make_synthetic(key, N, G, C, dtype, chunk=10_000):
+    """Clone-structured Poisson counts generated on-device (conditioning on
+    totals makes Poisson rows exactly the model's multinomial). Generated in
+    cell chunks: jax.random.poisson's rejection sampler carries ~8 copies of
+    its operand through a while_loop, which OOMs at 100k x 5k in one shot."""
+    import jax
+    import jax.numpy as jnp
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    L = jax.random.randint(k1, (G, C), 1, 5).astype(dtype)
+    mu = jnp.exp(jax.random.normal(k2, (G,), dtype) * 0.5)
+    z = jax.random.randint(k3, (N,), 0, C)
+
+    chunk = min(chunk, N)
+    n_chunks = -(-N // chunk)
+    N_pad = n_chunks * chunk
+    z_pad = jnp.pad(z, (0, N_pad - N))
+
+    @jax.jit
+    def gen_chunk(k, z_c):
+        rates = mu[None, :] * L[:, z_c].T  # (chunk, G)
+        rates = rates * (2000.0 / jnp.sum(rates, axis=1, keepdims=True))
+        y = jax.random.poisson(k, rates).astype(dtype)
+        return y.at[:, 0].add((jnp.sum(y, axis=1) == 0).astype(dtype))
+
+    keys = jax.random.split(k4, n_chunks)
+    parts = [gen_chunk(keys[i], z_pad[i * chunk : (i + 1) * chunk]) for i in range(n_chunks)]
+    Y = jnp.concatenate(parts, axis=0)[:N]
+    return Y, L, z
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from clonealign_tpu.infer import run_inference
+    from clonealign_tpu.models import multinomial as mm
+
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
+    N, G, C, R = (2_000, 500, 5, 3) if smoke else (100_000, 5_000, 10, 10)
+    max_iter = 100
+    dtype = jnp.float32
+
+    key = jax.random.PRNGKey(0)
+    k_data, k_fit = jax.random.split(key)
+    Y, L, _z = make_synthetic(k_data, N, G, C, dtype)
+    jax.block_until_ready(Y)
+
+    data = mm.prepare_data(Y, L, dtype=dtype)
+    config = mm.ModelConfig(K=1, P=0, mc_samples=1)
+
+    @jax.jit
+    def one_fit(k, data):
+        k_init, k_run = jax.random.split(k)
+        params0 = mm.init_params(data.Y, data.L, k_init, K=1, dtype=dtype)
+        res = run_inference(
+            params0, data, k_run, config,
+            max_iter=max_iter, rel_tol=1e-6, learning_rate=0.1,
+        )
+        # return only what selection needs to keep transfers small
+        return res.final_elbo, res.n_iters, res.params.gamma_logits
+
+    keys = jax.random.split(k_fit, R)
+
+    # compile (excluded from timing)
+    elbo0, n0, g0 = one_fit(keys[0], data)
+    jax.block_until_ready(g0)
+
+    t0 = time.perf_counter()
+    finals = []
+    best = None
+    for r in range(R):
+        fe, ni, gl = one_fit(keys[r], data)
+        finals.append(fe)
+        if best is None or float(fe) > float(best[0]):
+            best = (fe, gl)
+    probs = jax.nn.softmax(best[1], axis=1)
+    assigned = jnp.argmax(probs, axis=1)
+    jax.block_until_ready(assigned)
+    elapsed = time.perf_counter() - t0
+
+    cells_per_sec = N * R / elapsed
+    per_chip_baseline = 100_000 * 10 / 60.0 / 8.0  # v5e-8 target share per chip
+    out = {
+        "metric": "cells_assigned_per_sec (100k x 5k x 10, 10 restarts, single chip)"
+        if not smoke
+        else "cells_assigned_per_sec (smoke)",
+        "value": round(cells_per_sec, 1),
+        "unit": "cells/s",
+        "vs_baseline": round(cells_per_sec / per_chip_baseline, 2),
+        "elapsed_s": round(elapsed, 2),
+        "config": {"N": N, "G": G, "C": C, "restarts": R, "max_iter": max_iter},
+        "final_elbos": [round(float(f), 1) for f in finals],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -248,16 +248,15 @@ def clonealign(
         key = jax.random.PRNGKey(0 if seed is None else int(seed))
 
     # One fully-jitted program: init (PCA included) + warm start + Adam loop
-    # + final ELBO estimate. Data is closed over (device-resident constant).
-    Y_dev = jnp.asarray(ctx.Y, ctx.jdtype)
-    L_dev = jnp.asarray(ctx.L, ctx.jdtype)
-
+    # + final ELBO estimate. The data pytree is an ARGUMENT, not a closure —
+    # closed-over device arrays become compile-time constants, which embeds
+    # the full N x G matrix into the serialized program.
     @jax.jit
-    def _fit(k):
+    def _fit(k, data, extra_log_lik):
         k_init, k_fit = jax.random.split(k)
         params0 = mm.init_params(
-            Y_dev,
-            L_dev,
+            data.Y,
+            data.L,
             k_init,
             K=ctx.config.K,
             P=ctx.config.P,
@@ -266,17 +265,17 @@ def clonealign(
         )
         return run_inference(
             params0,
-            ctx.data,
+            data,
             k_fit,
             ctx.config,
             max_iter=int(max_iter),
             rel_tol=float(rel_tol),
             learning_rate=float(learning_rate),
             initial_shrink=float(initial_shrink),
-            extra_log_lik=ctx.extra_log_lik,
+            extra_log_lik=extra_log_lik,
         )
 
-    result = _fit(key)
+    result = _fit(key, ctx.data, ctx.extra_log_lik)
 
     return _package_fit(
         result,

@@ -81,6 +81,7 @@ def run_inference(
     window_size: int = 10,
     n_final_elbo_samples: int = 20,
     extra_log_lik: Optional[jax.Array] = None,
+    remat: bool = True,
 ) -> InferenceResult:
     """Fit by reparametrization-gradient VI. Pure function of its inputs —
     safe under jit/vmap (multi-restart vmaps over ``key``).
@@ -112,6 +113,12 @@ def run_inference(
 
     def loss_fn(p, k):
         return -mm.elbo(p, data, k, config, extra_log_lik)
+
+    if remat:
+        # Recompute the N x G intermediates (rfe and friends) in the backward
+        # pass instead of storing them — at 100k x 5k each is 2 GB in f32, and
+        # without remat the grad step holds several at once (HBM-bound).
+        loss_fn = jax.checkpoint(loss_fn)
 
     def active(st: _LoopState):
         return (st.i < max_iter) & (jnp.mean(jnp.abs(st.window)) >= rel_tol)

@@ -99,6 +99,31 @@ class ModelConfig(NamedTuple):
     P: int = 0
     mc_samples: int = 1
     fix_alpha: bool = False
+    # Likelihood backend: "auto" picks the Pallas fused kernel on TPU/f32
+    # (one pass over Y, no N x G intermediate), the XLA einsum path otherwise.
+    likelihood_impl: str = "auto"
+
+
+def _use_fused(config: "ModelConfig", dtype) -> bool:
+    if config.likelihood_impl == "fused":
+        return True
+    # "auto" currently resolves to the XLA path: measured at 100k x 5k x 10 on
+    # v5e, XLA's fusion of the decomposed likelihood (35ms fwd / 41ms grad)
+    # beats the first-cut Pallas kernel (55/59ms) because K=1 contractions
+    # lower to VPU broadcasts rather than padded MXU matmuls. The fused kernel
+    # remains selectable explicitly while it is being optimized.
+    return False
+
+
+@jax.jit
+def _prepare_data_core(Y, L):
+    s = jnp.sum(Y, axis=1)
+    log_binom = jax.lax.lgamma(s + 1.0) - jnp.sum(jax.lax.lgamma(Y + 1.0), axis=1)
+    log_L_safe = jnp.where(L > 0, jnp.log(jnp.where(L > 0, L, 1.0)), 0.0)
+    B = Y @ log_L_safe
+    hits_zero = (Y @ (L <= 0).astype(Y.dtype)) > 0
+    B = jnp.where(hits_zero, -jnp.inf, B)
+    return s, log_binom, B
 
 
 def prepare_data(Y, L, x=None, dtype=jnp.float32) -> ModelData:
@@ -111,12 +136,7 @@ def prepare_data(Y, L, x=None, dtype=jnp.float32) -> ModelData:
     """
     Y = jnp.asarray(Y, dtype)
     L = jnp.asarray(L, dtype)
-    s = jnp.sum(Y, axis=1)
-    log_binom = jax.lax.lgamma(s + 1.0) - jnp.sum(jax.lax.lgamma(Y + 1.0), axis=1)
-    log_L_safe = jnp.where(L > 0, jnp.log(jnp.where(L > 0, L, 1.0)), 0.0)
-    B = Y @ log_L_safe
-    hits_zero = (Y @ (L <= 0).astype(dtype)) > 0
-    B = jnp.where(hits_zero, -jnp.inf, B)
+    s, log_binom, B = _prepare_data_core(Y, L)
     X = None if x is None else jnp.asarray(x, dtype)
     return ModelData(Y=Y, L=L, X=X, s=s, log_binom=log_binom, YlogL=B)
 
@@ -218,6 +238,7 @@ def log_p_y_on_c(
     data: ModelData,
     mu_base: jax.Array,
     extra_log_lik: Optional[jax.Array] = None,
+    config: Optional[ModelConfig] = None,
 ):
     """(S, C, N) expression log-likelihood, decomposed form (module docstring).
 
@@ -229,28 +250,44 @@ def log_p_y_on_c(
 
     K = params.W.shape[1]
     P = params.beta.shape[1]
-    # A1[n] = sum_g y_ng * log rfe[n,g]; log rfe = psi W^T (+ X beta^T)
-    if K > 0:
-        A1 = jnp.sum(params.psi * (data.Y @ params.W), axis=1)  # (N,)
+    S = mu_samples.shape[0]
+    N = data.Y.shape[0]
+    C = data.L.shape[1]
+    dtype = data.Y.dtype
+    config = config or ModelConfig(K=K, P=P, mc_samples=S)
+
+    if (K > 0 or P > 0) and _use_fused(config, dtype):
+        # Pallas fused path: one pass over Y, rfe computed on the fly
+        # (ops/fused_likelihood.py).
+        from ..ops.fused_likelihood import fused_likelihood_terms
+
+        psi_ext = params.psi if P == 0 else jnp.concatenate([params.psi, data.X], axis=1)
+        W_ext = params.W if P == 0 else jnp.concatenate([params.W, params.beta], axis=1)
+        muL = (mu_samples[:, None, :] * data.L.T[None, :, :]).transpose(2, 0, 1)
+        muL = muL.reshape(data.L.shape[0], S * C)
+        A1, A2, Z_flat = fused_likelihood_terms(data.Y, psi_ext, W_ext, log_mu, muL)
+        Z = Z_flat.reshape(N, S, C).transpose(1, 2, 0)  # (S, C, N)
     else:
-        A1 = jnp.zeros(data.Y.shape[0], data.Y.dtype)
-    if P > 0:
-        A1 = A1 + jnp.sum(data.X * (data.Y @ params.beta), axis=1)
-
-    A2 = data.Y @ log_mu.T  # (N, S)
-
-    # Z[s,c,n] = sum_g m[s,g] L[g,c] rfe[n,g]
-    mL = mu_samples[:, None, :] * data.L.T[None, :, :]  # (S, C, G)
-    if K > 0 or P > 0:
-        log_rfe = params.psi @ params.W.T
+        # A1[n] = sum_g y_ng * log rfe[n,g]; log rfe = psi W^T (+ X beta^T)
+        if K > 0:
+            A1 = jnp.sum(params.psi * (data.Y @ params.W), axis=1)  # (N,)
+        else:
+            A1 = jnp.zeros(N, dtype)
         if P > 0:
-            log_rfe = log_rfe + data.X @ params.beta.T
-        rfe = jnp.exp(log_rfe)  # (N, G)
-        Z = jnp.einsum("scg,ng->scn", mL, rfe)
-    else:
-        Z = jnp.sum(mL, axis=2)[:, :, None] * jnp.ones(
-            (1, 1, data.Y.shape[0]), data.Y.dtype
-        )
+            A1 = A1 + jnp.sum(data.X * (data.Y @ params.beta), axis=1)
+
+        A2 = data.Y @ log_mu.T  # (N, S)
+
+        # Z[s,c,n] = sum_g m[s,g] L[g,c] rfe[n,g]
+        mL = mu_samples[:, None, :] * data.L.T[None, :, :]  # (S, C, G)
+        if K > 0 or P > 0:
+            log_rfe = params.psi @ params.W.T
+            if P > 0:
+                log_rfe = log_rfe + data.X @ params.beta.T
+            rfe = jnp.exp(log_rfe)  # (N, G)
+            Z = jnp.einsum("scg,ng->scn", mL, rfe)
+        else:
+            Z = jnp.sum(mL, axis=2)[:, :, None] * jnp.ones((1, 1, N), dtype)
 
     ll = (
         data.log_binom[None, None, :]
@@ -282,7 +319,7 @@ def elbo(
     mu_base = sample_mu_base(params, key, S)
     mu_samples = softplus(mu_base)
 
-    p_y = log_p_y_on_c(params, data, mu_base, extra_log_lik)  # (S, C, N)
+    p_y = log_p_y_on_c(params, data, mu_base, extra_log_lik, config)  # (S, C, N)
 
     gamma = jax.nn.softmax(params.gamma_logits, axis=1)  # (N, C)
     log_gamma = jax.nn.log_softmax(params.gamma_logits, axis=1)
@@ -350,7 +387,7 @@ def gamma_warm_start_logits(
     reference's exact behavior, 10 = sharper ("semi-hard") assignment.
     """
     mu_base = sample_mu_base(params, key, config.mc_samples)
-    p_y = log_p_y_on_c(params, data, mu_base, extra_log_lik)  # (S, C, N)
+    p_y = log_p_y_on_c(params, data, mu_base, extra_log_lik, config)  # (S, C, N)
     g = jnp.sum(p_y, axis=0)  # (C, N)
     g = g - jax.scipy.special.logsumexp(g, axis=0, keepdims=True)
     return (initial_shrink / 5.0) * g.T  # (N, C)

@@ -1,0 +1,157 @@
+"""Device-mesh parallelism for clonealign fits.
+
+The reference is a single R process driving one TF session (SURVEY.md §2.2,
+"Parallelism strategies: none"). The TPU-native distributed surface maps the
+model's structure onto a 2-D mesh:
+
+* ``cells`` axis (data parallel): every per-cell tensor — Y rows, size
+  factors, responsibilities gamma, latent factors psi — shards over it. The
+  ELBO and gradients are sums over cells, so XLA inserts ``psum``s over ICI.
+* ``genes`` axis (model/tensor parallel): per-gene tensors — Y columns, L,
+  qmu loc/scale, W, beta — shard over it. The likelihood contractions
+  (Y @ W, Y @ log mu, the Z normalizer) contract over genes, so XLA inserts
+  the cross-shard reductions before the per-(clone, cell) normalization, as
+  required (SURVEY.md §7, "the normalizer coupling").
+
+Restarts stay vmapped (leading axis, unsharded): each device computes all
+restart lanes on its (cells, genes) tile, which keeps the collectives
+identical to the single-fit case.
+
+Everything uses GSPMD via NamedSharding annotations; no hand-written
+collectives. Scale-out is annotate-and-jit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import multinomial as mm
+
+CELL_AXIS = "cells"
+GENE_AXIS = "genes"
+
+
+def make_mesh(
+    devices: Optional[Sequence] = None,
+    cell_parallelism: Optional[int] = None,
+    gene_parallelism: int = 1,
+) -> Mesh:
+    """Build a (cells, genes) mesh. Defaults to all devices on the cell axis —
+    cells are the unbounded dimension in practice (100k+) while genes are
+    bounded (~5k), so data parallelism is the default scale-out direction."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    n = len(devices)
+    if cell_parallelism is None:
+        cell_parallelism = n // gene_parallelism
+    if cell_parallelism * gene_parallelism != n:
+        raise ValueError(
+            f"mesh {cell_parallelism}x{gene_parallelism} != {n} devices"
+        )
+    dev_array = np.asarray(devices).reshape(cell_parallelism, gene_parallelism)
+    return Mesh(dev_array, (CELL_AXIS, GENE_AXIS))
+
+
+def data_shardings(mesh: Mesh, has_x: bool) -> mm.ModelData:
+    """PartitionSpecs for the ModelData pytree (see module docstring)."""
+    return mm.ModelData(
+        Y=NamedSharding(mesh, P(CELL_AXIS, GENE_AXIS)),
+        L=NamedSharding(mesh, P(GENE_AXIS, None)),
+        X=NamedSharding(mesh, P(CELL_AXIS, None)) if has_x else None,
+        s=NamedSharding(mesh, P(CELL_AXIS)),
+        log_binom=NamedSharding(mesh, P(CELL_AXIS)),
+        YlogL=NamedSharding(mesh, P(CELL_AXIS, None)),
+    )
+
+
+def param_specs(batched: bool = False) -> mm.CloneAlignParams:
+    """PartitionSpecs for params; ``batched`` adds a leading (replicated)
+    restart axis."""
+    lead = (None,) if batched else ()
+
+    def spec(*axes):
+        return P(*(lead + axes))
+
+    return mm.CloneAlignParams(
+        W=spec(GENE_AXIS, None),
+        chi_unconstr=spec(None),
+        psi=spec(CELL_AXIS, None),
+        beta=spec(GENE_AXIS, None),
+        alpha_unconstr=spec(None),
+        qmu_loc=spec(GENE_AXIS),
+        qmu_log_scale=spec(GENE_AXIS),
+        gamma_logits=spec(CELL_AXIS, None),
+    )
+
+
+def param_shardings(mesh: Mesh, batched: bool = False) -> mm.CloneAlignParams:
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        param_specs(batched),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_data(data: mm.ModelData, mesh: Mesh) -> mm.ModelData:
+    """Place a ModelData pytree onto the mesh with the canonical shardings."""
+    shardings = data_shardings(mesh, has_x=data.X is not None)
+    return jax.tree.map(jax.device_put, data, shardings)
+
+
+def constrain_params(params: mm.CloneAlignParams, mesh: Mesh, batched: bool = False):
+    shardings = param_shardings(mesh, batched)
+    return jax.tree.map(jax.lax.with_sharding_constraint, params, shardings)
+
+
+def sharded_fit(
+    Y,
+    L,
+    mesh: Mesh,
+    n_restarts: int = 1,
+    initial_shrinks=None,
+    x=None,
+    key=None,
+    dtype=jnp.float32,
+    config: Optional[mm.ModelConfig] = None,
+    data_init_mu=True,
+    extra_log_lik=None,
+    **infer_kwargs,
+):
+    """Multi-restart fit on a device mesh: data sharded (cells x genes),
+    restarts vmapped, one jitted program. Returns the stacked
+    :class:`~clonealign_tpu.infer.InferenceResult` over restarts.
+    """
+    from ..infer import run_inference
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    config = config or mm.ModelConfig(K=1, P=0 if x is None else x.shape[1])
+
+    data = mm.prepare_data(np.asarray(Y), np.asarray(L), x=x, dtype=dtype)
+    data = shard_data(data, mesh)
+
+    if initial_shrinks is None:
+        shrinks = jnp.full((n_restarts,), 5.0, dtype)
+    else:
+        shrinks = jnp.asarray(initial_shrinks, dtype)
+        n_restarts = shrinks.shape[0]
+    keys = jax.random.split(key, n_restarts)
+
+    def one_fit(k, shrink):
+        k_init, k_fit = jax.random.split(k)
+        params0 = mm.init_params(
+            data.Y, data.L, k_init, K=config.K, P=config.P,
+            data_init_mu=data_init_mu, dtype=dtype,
+        )
+        params0 = constrain_params(params0, mesh)
+        return run_inference(
+            params0, data, k_fit, config,
+            initial_shrink=shrink, extra_log_lik=extra_log_lik, **infer_kwargs,
+        )
+
+    fit_all = jax.jit(jax.vmap(one_fit))
+    return fit_all(keys, shrinks)

@@ -50,11 +50,11 @@ def run_clonealign(
         key = jax.random.PRNGKey(0 if seed is None else int(seed))
     keys = jax.random.split(key, R)
 
-    def one_fit(k, shrink):
+    def one_fit(k, shrink, data, extra_log_lik):
         k_init, k_fit = jax.random.split(k)
         params0 = mm.init_params(
-            ctx.Y,
-            ctx.L,
+            data.Y,
+            data.L,
             k_init,
             K=ctx.config.K,
             P=ctx.config.P,
@@ -63,17 +63,21 @@ def run_clonealign(
         )
         return run_inference(
             params0,
-            ctx.data,
+            data,
             k_fit,
             ctx.config,
             max_iter=int(max_iter),
             rel_tol=float(rel_tol),
             learning_rate=float(learning_rate),
             initial_shrink=shrink,
-            extra_log_lik=ctx.extra_log_lik,
+            extra_log_lik=extra_log_lik,
         )
 
-    results = jax.jit(jax.vmap(one_fit))(keys, jnp.asarray(shrinks, ctx.jdtype))
+    # data passed as an argument (not closure) so it is not baked into the
+    # compiled program as a constant; restarts vmap over (key, shrink) only
+    results = jax.jit(jax.vmap(one_fit, in_axes=(0, 0, None, None)))(
+        keys, jnp.asarray(shrinks, ctx.jdtype), ctx.data, ctx.extra_log_lik
+    )
 
     final_elbos = np.asarray(results.final_elbo)
     if print_elbos and verbose:

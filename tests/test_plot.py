@@ -1,0 +1,53 @@
+"""Smoke + unit tests for the diagnostic plot (reference R/plotting.R)."""
+
+import numpy as np
+import pytest
+
+matplotlib = pytest.importorskip("matplotlib")
+
+from clonealign_tpu.plot import _rank, plot_clonealign, segment_states
+
+
+def test_rank_matches_r_semantics():
+    np.testing.assert_allclose(_rank([10, 30, 20]), [1, 3, 2])
+    # average ties like R's rank()
+    np.testing.assert_allclose(_rank([5, 5, 1]), [2.5, 2.5, 1])
+
+
+def test_segment_states():
+    cnv = np.array([[2, 2], [2, 2], [2, 3], [2, 3], [1, 3]])
+    np.testing.assert_array_equal(segment_states(cnv), [1, 1, 2, 2, 3])
+    assert segment_states(np.zeros((0, 2))).size == 0
+
+
+def test_plot_runs_and_returns_figure():
+    rng = np.random.default_rng(0)
+    N, G, C = 40, 25, 3
+    logcounts = rng.normal(2, 1, (N, G))
+    cnv = rng.integers(1, 4, (G, C)).astype(float)
+    clones = rng.choice(["A", "B", "C", "unassigned"], N).tolist()
+    fig = plot_clonealign(
+        logcounts,
+        clones,
+        dict(A=cnv[:, 0], B=cnv[:, 1], C=cnv[:, 2]),
+        gene_chr=["1"] * G,
+        gene_start=np.arange(G),
+        gene_end=np.arange(G) + 1,
+        chromosome="1",
+    )
+    assert fig is not None
+    assert len(fig.axes) == 2
+    matplotlib.pyplot.close(fig)
+
+
+def test_plot_wrong_chromosome_raises():
+    with pytest.raises(ValueError, match="No genes on chromosome"):
+        plot_clonealign(
+            np.ones((5, 3)),
+            ["A"] * 5,
+            np.ones((3, 2)),
+            gene_chr=["1", "1", "2"],
+            gene_start=[0, 1, 2],
+            gene_end=[1, 2, 3],
+            chromosome="7",
+        )

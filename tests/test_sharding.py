@@ -1,0 +1,88 @@
+"""Sharded-execution tests on the 8-device virtual CPU mesh (conftest.py):
+the mesh fit must agree numerically with the single-device fit and actually
+distribute the arrays."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clonealign_tpu.models import multinomial as mm
+from clonealign_tpu.parallel.sharding import (
+    data_shardings,
+    make_mesh,
+    shard_data,
+    sharded_fit,
+)
+from clonealign_tpu.synth import simulate_multinomial
+
+
+@pytest.fixture(scope="module")
+def sim():
+    return simulate_multinomial(N=64, G=48, C=3, seed=0, mean_total=500)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    mesh2 = make_mesh(gene_parallelism=2)
+    assert mesh2.shape == {"cells": 4, "genes": 2}
+    with pytest.raises(ValueError):
+        make_mesh(cell_parallelism=3, gene_parallelism=3)
+
+
+def test_sharded_data_is_distributed(sim):
+    mesh = make_mesh(gene_parallelism=2)
+    data = mm.prepare_data(sim.Y, sim.L, dtype=jnp.float64)
+    sharded = shard_data(data, mesh)
+    # Y is tiled over both axes: each device holds N/4 x G/2
+    db = sharded.Y.addressable_shards
+    assert len(db) == 8
+    assert db[0].data.shape == (sim.Y.shape[0] // 4, sim.Y.shape[1] // 2)
+
+
+@pytest.mark.parametrize("gene_par", [1, 2])
+def test_sharded_elbo_matches_single_device(sim, gene_par):
+    mesh = make_mesh(gene_parallelism=gene_par)
+    key = jax.random.PRNGKey(3)
+    config = mm.ModelConfig(K=1, P=0, mc_samples=1)
+
+    data_single = mm.prepare_data(sim.Y, sim.L, dtype=jnp.float64)
+    params = mm.init_params(sim.Y, sim.L, key, K=1, dtype=jnp.float64)
+    ref = float(jax.jit(mm.elbo, static_argnames="config")(params, data_single, key, config))
+
+    data_mesh = shard_data(data_single, mesh)
+    val = float(jax.jit(mm.elbo, static_argnames="config")(params, data_mesh, key, config))
+    np.testing.assert_allclose(val, ref, rtol=1e-12)
+
+
+def test_sharded_fit_matches_unsharded(sim):
+    """Same keys => numerically identical results, sharded or not (float64)."""
+    key = jax.random.PRNGKey(11)
+    config = mm.ModelConfig(K=1, P=0, mc_samples=1)
+    kwargs = dict(max_iter=8, rel_tol=1e-10, dtype=jnp.float64, config=config, key=key)
+
+    mesh1 = make_mesh(cell_parallelism=1, gene_parallelism=1, devices=jax.devices()[:1])
+    r_single = sharded_fit(sim.Y, sim.L, mesh1, n_restarts=2, **kwargs)
+
+    mesh = make_mesh(gene_parallelism=2)
+    r_mesh = sharded_fit(sim.Y, sim.L, mesh, n_restarts=2, **kwargs)
+
+    np.testing.assert_allclose(
+        np.asarray(r_mesh.final_elbo), np.asarray(r_single.final_elbo), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_mesh.params.qmu_loc),
+        np.asarray(r_single.params.qmu_loc),
+        rtol=1e-8,
+    )
+
+
+def test_data_shardings_cover_pytree(sim):
+    mesh = make_mesh()
+    data = mm.prepare_data(sim.Y, sim.L, dtype=jnp.float64)
+    specs = data_shardings(mesh, has_x=False)
+    # every array leaf has a sharding
+    for leaf, spec in zip(data, specs):
+        if leaf is not None:
+            assert spec is not None

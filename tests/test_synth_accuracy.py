@@ -1,0 +1,39 @@
+"""Ground-truth recovery on synthetic data: the model must assign cells to
+the generating clone (BASELINE.md config 2; generator spec from reference
+inst/create_model3_synthetic.R:3-29)."""
+
+import numpy as np
+
+from clonealign_tpu import clonealign
+from clonealign_tpu.synth import (
+    assignment_accuracy,
+    simulate_model3,
+    simulate_multinomial,
+)
+
+
+def test_model3_generator_spec():
+    sim = simulate_model3(N=100, G=50, C=4, seed=0)
+    assert sim.Y.shape == (100, 50)
+    assert sim.L.shape == (50, 4)
+    assert set(np.unique(sim.L)) <= {1.0, 2.0, 3.0, 4.0}
+    assert sim.clone_idx.max() < 4
+    # Lp columns each normalized by the clone's mean CN
+    np.testing.assert_allclose(sim.L_normalized.mean(axis=0), 1.0, rtol=1e-12)
+    assert set(np.unique(sim.rho)) <= {0, 1}
+
+
+def test_recovers_clones_well_specified():
+    sim = simulate_multinomial(N=150, G=100, C=3, seed=1, mean_total=2000)
+    fit = clonealign(sim.Y, sim.L, max_iter=100, seed=0, verbose=False)
+    acc = assignment_accuracy(fit.clone, fit.clone_names, sim.clone_idx)
+    assert acc > 0.95
+
+
+def test_recovers_clones_model3_misspecified():
+    # NB-generated data (model mis-specification): the multinomial model
+    # should still recover the clone structure.
+    sim = simulate_model3(N=150, G=100, C=3, seed=2)
+    fit = clonealign(sim.Y, sim.L, max_iter=100, seed=0, verbose=False)
+    acc = assignment_accuracy(fit.clone, fit.clone_names, sim.clone_idx)
+    assert acc > 0.9
