@@ -1,0 +1,115 @@
+"""Region-level CNV calls -> gene-level clone copy-number matrix.
+
+The reference deliberately ships this workflow as a vignette rather than a
+function (reference vignettes/preparing_copy_number_data.Rmd:44-185): overlap
+gene annotations with CNV segments, keep uniquely-mapped genes, spread to a
+gene x clone matrix, and filter. Here it is a function — the genome-specific
+choices (annotation source, chromosome naming) are explicit arguments.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import numpy as np
+
+
+class GeneCNVMatrix(NamedTuple):
+    copy_number: np.ndarray  # (G', C)
+    gene_ids: list
+    clone_names: list
+
+
+def _norm_chr(c) -> str:
+    c = str(c)
+    return c[3:] if c.lower().startswith("chr") else c
+
+
+def cnv_regions_to_genes(
+    cnv_chr: Sequence,
+    cnv_start: Sequence,
+    cnv_end: Sequence,
+    cnv_copy_number: Sequence,
+    cnv_clone: Sequence,
+    gene_ids: Sequence,
+    gene_chr: Sequence,
+    gene_start: Sequence,
+    gene_end: Sequence,
+    max_min_copy_number: Optional[float] = 6,
+    require_varying_copy_number: bool = True,
+) -> GeneCNVMatrix:
+    """Map clone-specific region CNVs onto genes by genomic overlap.
+
+    Follows the reference recipe exactly
+    (reference vignettes/preparing_copy_number_data.Rmd:100-178):
+
+    1. overlap genes with CNV segments (inclusive interval intersection,
+       chromosome names normalized so "chr1" == "1");
+    2. keep genes hit exactly once per clone (genes spanning breakpoints or
+       multi-mapped are dropped);
+    3. spread to a (gene, clone) matrix;
+    4. keep genes with min copy number <= ``max_min_copy_number`` ("we expect
+       dosage mechanisms to tail off", Rmd:168) and, optionally, copy number
+       that varies between clones.
+    """
+    cnv_chr = np.asarray([_norm_chr(c) for c in cnv_chr])
+    cnv_start = np.asarray(cnv_start, np.float64)
+    cnv_end = np.asarray(cnv_end, np.float64)
+    cnv_cn = np.asarray(cnv_copy_number, np.float64)
+    cnv_clone = np.asarray([str(c) for c in cnv_clone])
+
+    gene_ids = [str(g) for g in gene_ids]
+    gene_chr = np.asarray([_norm_chr(c) for c in gene_chr])
+    gene_start = np.asarray(gene_start, np.float64)
+    gene_end = np.asarray(gene_end, np.float64)
+
+    clone_names = [str(c) for c in sorted(set(cnv_clone))]
+    C = len(clone_names)
+    clone_idx = {c: i for i, c in enumerate(clone_names)}
+
+    G = len(gene_ids)
+    hits_cn = np.full((G, C), np.nan)
+    hit_counts = np.zeros(G, np.int64)
+
+    # per-chromosome sweep: segments sorted by start, binary search per gene
+    for chrom in np.unique(gene_chr):
+        seg_m = cnv_chr == chrom
+        if not seg_m.any():
+            continue
+        seg_start = cnv_start[seg_m]
+        seg_end = cnv_end[seg_m]
+        seg_cn = cnv_cn[seg_m]
+        seg_clone = cnv_clone[seg_m]
+        order = np.argsort(seg_start, kind="stable")
+        seg_start, seg_end, seg_cn, seg_clone = (
+            seg_start[order], seg_end[order], seg_cn[order], seg_clone[order]
+        )
+
+        gmask = np.flatnonzero(gene_chr == chrom)
+        for gi in gmask:
+            gs, ge = gene_start[gi], gene_end[gi]
+            # overlap: seg_start <= ge and seg_end >= gs
+            hi = np.searchsorted(seg_start, ge, side="right")
+            overlapping = np.flatnonzero(seg_end[:hi] >= gs)
+            hit_counts[gi] += len(overlapping)
+            for si in overlapping:
+                hits_cn[gi, clone_idx[seg_clone[si]]] = seg_cn[si]
+
+    # uniquely mapped: exactly one hit per clone (Rmd:144-148)
+    keep = (hit_counts == C) & ~np.isnan(hits_cn).any(axis=1)
+
+    mat = hits_cn[keep]
+    ids = [g for g, k in zip(gene_ids, keep) if k]
+
+    # final filters (Rmd:170-172)
+    fmask = np.ones(mat.shape[0], bool)
+    if max_min_copy_number is not None:
+        fmask &= mat.min(axis=1) <= max_min_copy_number
+    if require_varying_copy_number and C > 1:
+        fmask &= mat.var(axis=1, ddof=1) > 0
+
+    return GeneCNVMatrix(
+        copy_number=mat[fmask],
+        gene_ids=[g for g, k in zip(ids, fmask) if k],
+        clone_names=clone_names,
+    )

@@ -1,0 +1,95 @@
+"""Tests for the region->gene CNV mapping
+(reference vignettes/preparing_copy_number_data.Rmd:44-185)."""
+
+import numpy as np
+
+from clonealign_tpu.cnv import cnv_regions_to_genes
+from clonealign_tpu.io.datasets import load_df_cnv
+
+
+def _simple_case():
+    # two clones; chr1 has two segments per clone, chr2 one per clone
+    cnv = dict(
+        chr=["1", "1", "1", "1", "2", "2"],
+        start=[0, 100, 0, 100, 0, 0],
+        end=[99, 200, 99, 200, 500, 500],
+        copy_number=[2, 3, 2, 5, 1, 4],
+        clone=["A", "A", "B", "B", "A", "B"],
+    )
+    genes = dict(
+        gene_ids=["g_left", "g_right", "g_span", "g_chr2", "g_nohit"],
+        gene_chr=["chr1", "1", "1", "2", "3"],
+        gene_start=[10, 120, 90, 20, 0],
+        gene_end=[50, 180, 150, 30, 10],
+    )
+    return cnv, genes
+
+
+def test_basic_mapping_and_breakpoint_drop():
+    cnv, genes = _simple_case()
+    res = cnv_regions_to_genes(
+        cnv["chr"], cnv["start"], cnv["end"], cnv["copy_number"], cnv["clone"],
+        **genes,
+    )
+    assert res.clone_names == ["A", "B"]
+    # g_span crosses the breakpoint (2 hits per clone) -> dropped;
+    # g_nohit has no overlap -> dropped;
+    # g_left has equal CN across clones (2,2) -> dropped by variance filter
+    got = dict(zip(res.gene_ids, res.copy_number.tolist()))
+    assert got == {"g_right": [3.0, 5.0], "g_chr2": [1.0, 4.0]}
+
+
+def test_variance_and_max_cn_filters():
+    cnv, genes = _simple_case()
+    res_all = cnv_regions_to_genes(
+        cnv["chr"], cnv["start"], cnv["end"], cnv["copy_number"], cnv["clone"],
+        **genes, require_varying_copy_number=False,
+    )
+    assert "g_left" in res_all.gene_ids  # kept when variance filter off
+    res_var = cnv_regions_to_genes(
+        cnv["chr"], cnv["start"], cnv["end"], cnv["copy_number"], cnv["clone"],
+        **genes,
+    )
+    assert "g_left" not in res_var.gene_ids
+
+    # max_min_copy_number: raise clone CNs above 6 for g_chr2
+    cnv2 = dict(cnv)
+    cnv2["copy_number"] = [2, 3, 2, 5, 7, 8]
+    res_cn = cnv_regions_to_genes(
+        cnv2["chr"], cnv2["start"], cnv2["end"], cnv2["copy_number"], cnv2["clone"],
+        **genes,
+    )
+    assert "g_chr2" not in res_cn.gene_ids
+
+
+def test_chr_name_normalization():
+    cnv, genes = _simple_case()
+    # mixed chr naming on both sides already exercised ("chr1" vs "1")
+    res = cnv_regions_to_genes(
+        ["chr" + c for c in cnv["chr"]], cnv["start"], cnv["end"],
+        cnv["copy_number"], cnv["clone"], **genes,
+    )
+    assert "g_right" in res.gene_ids
+
+
+def test_on_bundled_df_cnv():
+    cnv = load_df_cnv()
+    # synthesize a gene annotation: one gene in the middle of every region
+    mid = (cnv["start"] + cnv["end"]) / 2
+    # take unique (chr, mid) to avoid multi-clone duplicates
+    seen = {}
+    for c, m in zip(cnv["chr"], mid):
+        seen.setdefault((str(c), float(m)), len(seen))
+    gc = [k[0] for k in seen]
+    gm = np.asarray([k[1] for k in seen])
+    res = cnv_regions_to_genes(
+        cnv["chr"], cnv["start"], cnv["end"], cnv["copy_number"], cnv["clone"],
+        gene_ids=[f"gene_{i}" for i in range(len(gc))],
+        gene_chr=gc, gene_start=gm, gene_end=gm + 1,
+    )
+    assert res.clone_names == ["A", "B", "C"]
+    assert res.copy_number.shape[1] == 3
+    assert len(res.gene_ids) > 0
+    # all retained genes vary across clones and have min CN <= 6
+    assert (res.copy_number.min(axis=1) <= 6).all()
+    assert (res.copy_number.var(axis=1, ddof=1) > 0).all()

@@ -1,0 +1,130 @@
+"""Native + fallback MatrixMarket loader tests (native/src/mtx_reader.cpp,
+clonealign_tpu/io/mtx.py)."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from clonealign_tpu.io import mtx as mtx_mod
+from clonealign_tpu.io.mtx import load_cellranger_dir, read_mtx, read_mtx_info
+
+
+def _write_mtx(path, dense, gz=False, pattern=False):
+    rows, cols = dense.shape
+    nz = np.argwhere(dense != 0)
+    lines = [
+        f"%%MatrixMarket matrix coordinate {'pattern' if pattern else 'integer'} general",
+        "% comment line",
+        f"{rows} {cols} {len(nz)}",
+    ]
+    for r, c in nz:
+        if pattern:
+            lines.append(f"{r + 1} {c + 1}")
+        else:
+            lines.append(f"{r + 1} {c + 1} {int(dense[r, c])}")
+    payload = ("\n".join(lines) + "\n").encode()
+    if gz:
+        with gzip.open(path, "wb") as fh:
+            fh.write(payload)
+    else:
+        with open(path, "wb") as fh:
+            fh.write(payload)
+
+
+@pytest.fixture(scope="module")
+def dense():
+    rng = np.random.default_rng(0)
+    d = rng.poisson(0.5, (60, 45)).astype(float)
+    d[0, 0] = 7  # ensure a nonzero at the corner
+    return d
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_roundtrip_dense(tmp_path, dense, gz):
+    p = str(tmp_path / ("m.mtx" + (".gz" if gz else "")))
+    _write_mtx(p, dense, gz=gz)
+    rows, cols, nnz = read_mtx_info(p)
+    assert (rows, cols) == dense.shape
+    assert nnz == (dense != 0).sum()
+    out = read_mtx(p, dense=True)
+    np.testing.assert_array_equal(out, dense)
+    out_t = read_mtx(p, dense=True, transpose=True)
+    np.testing.assert_array_equal(out_t, dense.T)
+
+
+def test_roundtrip_coo(tmp_path, dense):
+    p = str(tmp_path / "m.mtx")
+    _write_mtx(p, dense)
+    coo = read_mtx(p, dense=False)
+    np.testing.assert_array_equal(coo.todense(), dense)
+
+
+def test_pattern_matrix(tmp_path, dense):
+    p = str(tmp_path / "pat.mtx")
+    _write_mtx(p, dense, pattern=True)
+    out = read_mtx(p, dense=True)
+    np.testing.assert_array_equal(out, (dense != 0).astype(float))
+
+
+def test_python_fallback_agrees(tmp_path, dense, monkeypatch):
+    p = str(tmp_path / "m.mtx")
+    _write_mtx(p, dense)
+    native = read_mtx(p, dense=True)
+    monkeypatch.setenv("CLONEALIGN_TPU_NO_NATIVE", "1")
+    monkeypatch.setattr(mtx_mod, "_lib", None)
+    fallback = read_mtx(p, dense=True)
+    np.testing.assert_array_equal(native, fallback)
+
+
+def test_malformed_inputs(tmp_path):
+    p = str(tmp_path / "bad.mtx")
+    with open(p, "w") as fh:
+        fh.write("not a matrix market file\n1 2 3\n")
+    with pytest.raises(ValueError):
+        read_mtx(p)
+    p2 = str(tmp_path / "oob.mtx")
+    with open(p2, "w") as fh:
+        fh.write("%%MatrixMarket matrix coordinate integer general\n2 2 1\n5 5 1\n")
+    with pytest.raises(ValueError, match="bounds|malformed"):
+        read_mtx(p2)
+
+
+def test_cellranger_dir(tmp_path, dense):
+    d = tmp_path / "cr"
+    d.mkdir()
+    _write_mtx(str(d / "matrix.mtx"), dense, gz=False)  # genes x cells on disk
+    with open(d / "genes.tsv", "w") as fh:
+        for i in range(dense.shape[0]):
+            fh.write(f"ENSG{i:05d}\tGene{i}\n")
+    with gzip.open(d / "barcodes.tsv.gz", "wt") as fh:
+        for j in range(dense.shape[1]):
+            fh.write(f"BC{j:04d}\n")
+    Y, genes, barcodes = load_cellranger_dir(str(d))
+    assert Y.shape == (dense.shape[1], dense.shape[0])  # cells x genes
+    np.testing.assert_array_equal(Y, dense.T)
+    assert genes[0] == "ENSG00000" and len(genes) == dense.shape[0]
+    assert barcodes[0] == "BC0000" and len(barcodes) == dense.shape[1]
+
+
+def test_large_parallel_path(tmp_path):
+    # big enough to exercise the multi-threaded chunked parser
+    rng = np.random.default_rng(1)
+    rows, cols, nnz = 3000, 800, 400_000
+    ri = rng.integers(0, rows, nnz)
+    ci = rng.integers(0, cols, nnz)
+    # dedupe coordinates (general files don't carry duplicates)
+    key = ri * cols + ci
+    _, idx = np.unique(key, return_index=True)
+    ri, ci = ri[idx], ci[idx]
+    vv = rng.integers(1, 100, len(ri))
+    p = str(tmp_path / "big.mtx")
+    with open(p, "w") as fh:
+        fh.write("%%MatrixMarket matrix coordinate integer general\n")
+        fh.write(f"{rows} {cols} {len(ri)}\n")
+        np.savetxt(fh, np.column_stack([ri + 1, ci + 1, vv]), fmt="%d")
+    out = read_mtx(p, dense=True)
+    assert out.shape == (rows, cols)
+    assert out.sum() == vv.sum()
+    assert out[ri[0], ci[0]] == vv[0]
