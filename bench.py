@@ -67,34 +67,36 @@ def main():
     data = mm.prepare_data(Y, L, dtype=dtype)
     config = mm.ModelConfig(K=1, P=0, mc_samples=1)
 
+    # The entire restart sweep runs on-device as ONE program: lax.map over
+    # restarts (sequential, bounding memory to a single fit's working set),
+    # scan-based iteration (unroll=4), gradients without remat (one restart
+    # fits HBM comfortably), convergence monitored from the training-step
+    # ELBO. Only the winning assignment leaves the device.
     @jax.jit
-    def one_fit(k, data):
-        k_init, k_run = jax.random.split(k)
-        params0 = mm.init_params(data.Y, data.L, k_init, K=1, dtype=dtype)
-        res = run_inference(
-            params0, data, k_run, config,
-            max_iter=max_iter, rel_tol=1e-6, learning_rate=0.1,
-        )
-        # return only what selection needs to keep transfers small
-        return res.final_elbo, res.n_iters, res.params.gamma_logits
+    def sweep(keys, data):
+        def one_fit(k):
+            k_init, k_run = jax.random.split(k)
+            params0 = mm.init_params(data.Y, data.L, k_init, K=1, dtype=dtype)
+            res = run_inference(
+                params0, data, k_run, config,
+                max_iter=max_iter, rel_tol=1e-6, learning_rate=0.1,
+                elbo_eval="reuse", loop_impl="scan", unroll=4, remat=False,
+            )
+            return res.final_elbo, res.params.gamma_logits
+        elbos, gammas = jax.lax.map(one_fit, keys)
+        best = jnp.argmax(elbos)
+        return elbos, jnp.argmax(gammas[best], axis=1)
 
     keys = jax.random.split(k_fit, R)
 
     # compile (excluded from timing)
-    elbo0, n0, g0 = one_fit(keys[0], data)
-    jax.block_until_ready(g0)
+    out = sweep(keys, data)
+    jax.block_until_ready(out)
 
     t0 = time.perf_counter()
-    finals = []
-    best = None
-    for r in range(R):
-        fe, ni, gl = one_fit(keys[r], data)
-        finals.append(fe)
-        if best is None or float(fe) > float(best[0]):
-            best = (fe, gl)
-    probs = jax.nn.softmax(best[1], axis=1)
-    assigned = jnp.argmax(probs, axis=1)
-    jax.block_until_ready(assigned)
+    finals, assigned = sweep(jax.random.split(jax.random.fold_in(k_fit, 1), R), data)
+    assigned = np.asarray(assigned)
+    finals = np.asarray(finals)
     elapsed = time.perf_counter() - t0
 
     cells_per_sec = N * R / elapsed

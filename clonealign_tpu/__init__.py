@@ -18,7 +18,13 @@ Public API (mirrors the reference's exported surface, NAMESPACE:3-7):
 """
 
 from .api import clonealign, saturate
-from .assign import clone_assignment, compute_correlations, recompute_clone_assignment
+from .assign import (
+    clone_assignment,
+    compute_ca_fit_mse,
+    compute_correlations,
+    recompute_clone_assignment,
+)
+from .cnv import cnv_regions_to_genes
 from .fit import ClonealignFit, ConvergenceInfo
 from .preprocess import preprocess_for_clonealign
 from .restarts import run_clonealign
@@ -32,6 +38,8 @@ __all__ = [
     "recompute_clone_assignment",
     "clone_assignment",
     "compute_correlations",
+    "compute_ca_fit_mse",
+    "cnv_regions_to_genes",
     "saturate",
     "ClonealignFit",
     "ConvergenceInfo",

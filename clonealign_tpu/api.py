@@ -218,6 +218,8 @@ def clonealign(
     data_init_mu=True,
     seed: Optional[int] = None,
     key=None,
+    elbo_eval: str = "fresh",
+    progress: bool = False,
 ) -> ClonealignFit:
     """Assign scRNA-seq cells to clones of origin by variational inference.
 
@@ -273,6 +275,8 @@ def clonealign(
             learning_rate=float(learning_rate),
             initial_shrink=float(initial_shrink),
             extra_log_lik=extra_log_lik,
+            elbo_eval=elbo_eval,
+            progress=progress,
         )
 
     result = _fit(key, ctx.data, ctx.extra_log_lik)

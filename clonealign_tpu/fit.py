@@ -49,3 +49,45 @@ class ClonealignFit:
             "To access clone assignments, call fit.clone\n"
             "To access ML parameter estimates, call fit.ml_params"
         )
+
+    # --- persistence (the reference's saveRDS analog; SURVEY.md §5
+    # "Checkpoint / resume") ---
+
+    def save(self, path: str) -> None:
+        """Serialize to a single .npz archive."""
+        arrays = {
+            "clone": np.asarray(self.clone, dtype=object).astype(str),
+            "clone_names": np.asarray(self.clone_names, dtype=str),
+            "retained_genes": np.asarray([str(g) for g in self.retained_genes]),
+            "correlations": np.asarray(self.correlations, np.float64),
+            "conv_final_elbo": np.asarray(self.convergence_info.final_elbo),
+            "conv_sd_final_elbo": np.asarray(self.convergence_info.sd_final_elbo),
+            "conv_elbo": np.asarray(self.convergence_info.elbo),
+            "conv_n_iters": np.asarray(self.convergence_info.n_iters),
+        }
+        for k, v in self.ml_params.items():
+            arrays[f"ml__{k}"] = np.asarray(v)
+        if self.clone_probs_from_snv is not None:
+            arrays["clone_probs_from_snv"] = np.asarray(self.clone_probs_from_snv)
+        np.savez_compressed(path, **arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "ClonealignFit":
+        z = np.load(path, allow_pickle=False)
+        ml_params = {k[4:]: z[k] for k in z.files if k.startswith("ml__")}
+        return cls(
+            clone=[str(c) for c in z["clone"]],
+            ml_params=ml_params,
+            convergence_info=ConvergenceInfo(
+                final_elbo=float(z["conv_final_elbo"]),
+                sd_final_elbo=float(z["conv_sd_final_elbo"]),
+                elbo=z["conv_elbo"],
+                n_iters=int(z["conv_n_iters"]),
+            ),
+            retained_genes=[str(g) for g in z["retained_genes"]],
+            correlations=z["correlations"],
+            clone_names=[str(c) for c in z["clone_names"]],
+            clone_probs_from_snv=(
+                z["clone_probs_from_snv"] if "clone_probs_from_snv" in z.files else None
+            ),
+        )

@@ -82,6 +82,10 @@ def run_inference(
     n_final_elbo_samples: int = 20,
     extra_log_lik: Optional[jax.Array] = None,
     remat: bool = True,
+    elbo_eval: str = "fresh",
+    progress: bool = False,
+    loop_impl: str = "while",
+    unroll: int = 1,
 ) -> InferenceResult:
     """Fit by reparametrization-gradient VI. Pure function of its inputs —
     safe under jit/vmap (multi-restart vmaps over ``key``).
@@ -95,7 +99,24 @@ def run_inference(
     each resampling); stops when the mean |relative ELBO change| over the
     last ``window_size`` iterations drops below ``rel_tol``
     (reference R/inference-tflow.R:379,404-416).
+
+    ``elbo_eval`` controls the convergence-monitoring stream: "fresh"
+    (reference semantics) evaluates the ELBO after each update with a new MC
+    sample — a second forward pass; "reuse" monitors the value already
+    computed by value_and_grad (pre-update, training sample) — halves the
+    per-iteration cost with an equally valid stochastic ELBO estimate, at the
+    price of the trace lagging one update behind the reference's.
+
+    ``loop_impl`` selects the iteration engine: "while" (lax.while_loop;
+    stops early on convergence) or "scan" (lax.scan with per-step freeze
+    masking and ``unroll``; same results, lower loop overhead, but always
+    runs ``max_iter`` steps — best when convergence rarely precedes
+    ``max_iter``, e.g. throughput benchmarking).
     """
+    if elbo_eval not in ("fresh", "reuse"):
+        raise ValueError(f"elbo_eval must be 'fresh' or 'reuse', got {elbo_eval!r}")
+    if loop_impl not in ("while", "scan"):
+        raise ValueError(f"loop_impl must be 'while' or 'scan', got {loop_impl!r}")
     opt = tf1_adam(learning_rate)
     dtype = params.qmu_loc.dtype
 
@@ -130,14 +151,27 @@ def run_inference(
 
     def body(st: _LoopState):
         key, k_train, k_eval = jax.random.split(st.key, 3)
-        _, grads = jax.value_and_grad(loss_fn)(st.params, k_train)
+        neg_elbo, grads = jax.value_and_grad(loss_fn)(st.params, k_train)
         updates, opt_state = opt.update(grads, st.opt_state)
         params = optax.apply_updates(st.params, updates)
-        elbo_new = mm.elbo(params, data, k_eval, config, extra_log_lik)
+        if elbo_eval == "fresh":
+            elbo_new = mm.elbo(params, data, k_eval, config, extra_log_lik)
+        else:
+            elbo_new = -neg_elbo
         diff = (elbo_new - st.elbo_val) / jnp.abs(st.elbo_val)
         window = jnp.roll(st.window, -1).at[-1].set(diff)
         trace = st.trace.at[st.i + 1].set(elbo_new)
         new = _LoopState(params, opt_state, key, elbo_new, window, trace, st.i + 1)
+        if progress:
+            # opt-in analog of the reference's per-iteration progress bar
+            # (reference R/inference-tflow.R:384-398); host callback per step
+            jax.debug.callback(
+                lambda i, e, c: print(
+                    f"  VB iter {int(i):4d}  elbo {float(e):.4f}  "
+                    f"mean|Δ| {float(c):.3e}"
+                ),
+                st.i + 1, elbo_new, jnp.mean(jnp.abs(window)),
+            )
         keep = active(st)
         return jax.tree.map(lambda n, o: jnp.where(keep, n, o), new, st)
 
@@ -150,7 +184,12 @@ def run_inference(
         trace=trace,
         i=jnp.zeros([], jnp.int32),
     )
-    st = jax.lax.while_loop(cond, body, st)
+    if loop_impl == "while":
+        st = jax.lax.while_loop(cond, body, st)
+    else:
+        st, _ = jax.lax.scan(
+            lambda s, _: (body(s), None), st, None, length=max_iter, unroll=unroll
+        )
 
     # Final ELBO: mean/sd over fresh stochastic evaluations
     # (reference R/inference-tflow.R:447-454).

@@ -82,6 +82,34 @@ def load_example_fit() -> dict:
     return {k: z[k] for k in z.files}
 
 
+def load_example_clonealign_fit():
+    """The bundled example fit as a :class:`~clonealign_tpu.fit.ClonealignFit`
+    (the reference's lazy-loaded ``example_clonealign_fit``,
+    R/clonealign.R:380-387)."""
+    from ..fit import ClonealignFit, ConvergenceInfo
+
+    raw = load_example_fit()
+    probs = raw["clone_probs"]
+    return ClonealignFit(
+        clone=[str(c) for c in raw["clone"]],
+        ml_params={
+            "clone_probs": probs,
+            "mu": raw["mu"],
+            "s": raw["s"],
+            "alpha": raw["alpha"],
+        },
+        convergence_info=ConvergenceInfo(
+            final_elbo=float(raw["log_lik"][-1]),
+            sd_final_elbo=float("nan"),
+            elbo=raw["log_lik"],
+            n_iters=len(raw["log_lik"]) - 1,
+        ),
+        retained_genes=[str(g) for g in raw["retained_genes"]],
+        correlations=np.full(len(raw["mu"]), np.nan),
+        clone_names=["A", "B", "C"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Conversion from the original .rda artifacts
 # ---------------------------------------------------------------------------

@@ -33,6 +33,7 @@ def run_clonealign(
     clone_call_probability: float = 0.95,
     seed: Optional[int] = None,
     key=None,
+    elbo_eval: str = "fresh",
     **kwargs,
 ):
     """Sweep restarts, return the max-ELBO fit with ``multirun_info`` attached
@@ -71,6 +72,7 @@ def run_clonealign(
             learning_rate=float(learning_rate),
             initial_shrink=shrink,
             extra_log_lik=extra_log_lik,
+            elbo_eval=elbo_eval,
         )
 
     # data passed as an argument (not closure) so it is not baked into the
