@@ -51,10 +51,10 @@ def _parse_expression(gene_expression_data):
             gene_names = [str(g) for g in obj.var_names]
         if hasattr(obj, "obs_names"):
             cell_names = [str(c) for c in obj.obs_names]
+    elif hasattr(obj, "todense"):  # scipy-sparse / COOMatrix duck-type
+        Y = np.asarray(obj.todense())
     else:
         Y = np.asarray(obj)
-        if hasattr(obj, "todense"):
-            Y = np.asarray(obj.todense())
     if Y.ndim != 2:
         raise ValueError("gene_expression_data must be a 2-D cell-by-gene matrix")
     return Y.astype(np.float64), gene_names or None, cell_names or None

@@ -107,11 +107,12 @@ class ModelConfig(NamedTuple):
 def _use_fused(config: "ModelConfig", dtype) -> bool:
     if config.likelihood_impl == "fused":
         return True
-    # "auto" currently resolves to the XLA path: measured at 100k x 5k x 10 on
-    # v5e, XLA's fusion of the decomposed likelihood (35ms fwd / 41ms grad)
-    # beats the first-cut Pallas kernel (55/59ms) because K=1 contractions
-    # lower to VPU broadcasts rather than padded MXU matmuls. The fused kernel
-    # remains selectable explicitly while it is being optimized.
+    # "auto" resolves to the XLA path. Measured in-loop at 100k x 5k x 10 on
+    # v5e: XLA 4.5ms fwd / 4.8ms grad per evaluation vs 11.7/17.5ms for the
+    # Pallas kernel — XLA's fusion of the decomposed likelihood already
+    # streams Y once per pass (2 GB ~= 2.5ms at HBM roofline), so the
+    # hand-written kernel has no headroom to exploit on this op. It remains
+    # selectable ("fused") as the scaffold for regimes XLA handles badly.
     return False
 
 

@@ -53,6 +53,18 @@ def _pad_to(x, size, axis):
 # Forward kernel
 # ---------------------------------------------------------------------------
 
+def _small_k_matmul(a, b_t):
+    """a (M, K) x b_t (N, K) -> (M, N) as K broadcast-multiplies on the VPU.
+
+    For K <= ~4 (clonealign: K=1 latent dim, maybe + a covariate or two) a
+    rank-K outer-product sum beats an MXU dot padded from K to 128."""
+    K = a.shape[1]
+    out = a[:, 0:1] * b_t[:, 0][None, :]
+    for k in range(1, K):
+        out += a[:, k : k + 1] * b_t[:, k][None, :]
+    return out
+
+
 def _fwd_kernel(y_ref, psi_ref, w_ref, logmu_ref, muL_ref, a1_ref, a2_ref, z_ref):
     """Grid (cell_tiles, gene_tiles); gene axis innermost, accumulating into
     per-cell-tile outputs which stay resident in VMEM across the gene loop."""
@@ -65,18 +77,29 @@ def _fwd_kernel(y_ref, psi_ref, w_ref, logmu_ref, muL_ref, a1_ref, a2_ref, z_ref
         z_ref[:] = jnp.zeros_like(z_ref)
 
     y = y_ref[:]  # (TN, TG)
-    log_rfe = jnp.dot(psi_ref[:], w_ref[:].T, preferred_element_type=jnp.float32)
+    kf = psi_ref.shape[1]
+    if kf <= 4:
+        log_rfe = _small_k_matmul(psi_ref[:], w_ref[:])
+    else:
+        log_rfe = jnp.dot(psi_ref[:], w_ref[:].T, preferred_element_type=jnp.float32)
     # A1 partial: rowsum(Y * log_rfe)
     a1_ref[:] += jnp.sum(y * log_rfe, axis=1, keepdims=True)
     # A2 partial: Y @ log_mu^T  -> (TN, S)
-    a2_ref[:] += jnp.dot(y, logmu_ref[:].T, preferred_element_type=jnp.float32)
+    S = logmu_ref.shape[0]
+    if S <= 4:
+        for s in range(S):
+            a2_ref[:, s : s + 1] += jnp.sum(
+                y * logmu_ref[s, :][None, :], axis=1, keepdims=True
+            )
+    else:
+        a2_ref[:] += jnp.dot(y, logmu_ref[:].T, preferred_element_type=jnp.float32)
     # Z partial: rfe @ (mu * L)  -> (TN, S*C)
     rfe = jnp.exp(log_rfe)
     z_ref[:] += jnp.dot(rfe, muL_ref[:], preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("tn", "tg"))
-def _fused_fwd(Y, psi_ext, W_ext, log_mu, muL, tn=256, tg=512):
+def _fused_fwd(Y, psi_ext, W_ext, log_mu, muL, tn=512, tg=1024):
     """Returns (A1 (N,), A2 (N,S), Z_flat (N, S*C))."""
     N, G = Y.shape
     S = log_mu.shape[0]
@@ -112,6 +135,9 @@ def _fused_fwd(Y, psi_ext, W_ext, log_mu, muL, tn=256, tg=512):
             jax.ShapeDtypeStruct((Np, S), jnp.float32),
             jax.ShapeDtypeStruct((Np, SC), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=_interpret(),
     )(Yp, psi_p, W_p, logmu_p, muL_p)
     return a1[:N, 0], a2[:N], z[:N]
@@ -142,7 +168,11 @@ def _bwd_kernel(
     y = y_ref[:]  # (TN, TG)
     psi = psi_ref[:]  # (TN, K)
     w = w_ref[:]  # (TG, K)
-    log_rfe = jnp.dot(psi, w.T, preferred_element_type=jnp.float32)
+    kf = psi.shape[1]
+    if kf <= 4:
+        log_rfe = _small_k_matmul(psi, w)
+    else:
+        log_rfe = jnp.dot(psi, w.T, preferred_element_type=jnp.float32)
     rfe = jnp.exp(log_rfe)
 
     dz = dz_ref[:]  # (TN, SC)
@@ -151,16 +181,33 @@ def _bwd_kernel(
     # d log_rfe = Y * dA1 + rfe * drfe
     dlog_rfe = y * da1_ref[:] + rfe * drfe
 
-    dpsi_ref[0, :, :] = jnp.dot(dlog_rfe, w, preferred_element_type=jnp.float32)
-    dw_ref[:] += jnp.dot(dlog_rfe.T, psi, preferred_element_type=jnp.float32)
+    # thin contractions on the VPU (outputs have <=4 columns/rows)
+    if kf <= 4:
+        for k in range(kf):
+            dpsi_ref[0, :, k : k + 1] = jnp.sum(
+                dlog_rfe * w[:, k][None, :], axis=1, keepdims=True
+            )
+            dw_ref[:, k : k + 1] += jnp.sum(
+                dlog_rfe * psi[:, k : k + 1], axis=0, keepdims=True
+            ).T
+    else:
+        dpsi_ref[0, :, :] = jnp.dot(dlog_rfe, w, preferred_element_type=jnp.float32)
+        dw_ref[:] += jnp.dot(dlog_rfe.T, psi, preferred_element_type=jnp.float32)
     # d log_mu[s,g] += sum_n Y[n,g] dA2[n,s]
-    dlogmu_ref[:] += jnp.dot(da2_ref[:].T, y, preferred_element_type=jnp.float32)
+    S = da2_ref.shape[1]
+    if S <= 4:
+        for s in range(S):
+            dlogmu_ref[s : s + 1, :] += jnp.sum(
+                y * da2_ref[:, s : s + 1], axis=0, keepdims=True
+            )
+    else:
+        dlogmu_ref[:] += jnp.dot(da2_ref[:].T, y, preferred_element_type=jnp.float32)
     # d muL[g,sc] += sum_n rfe[n,g] dz[n,sc]
     dmuL_ref[:] += jnp.dot(rfe.T, dz, preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("tn", "tg"))
-def _fused_bwd(Y, psi_ext, W_ext, muL, dA1, dA2, dZ, tn=256, tg=512):
+def _fused_bwd(Y, psi_ext, W_ext, muL, dA1, dA2, dZ, tn=512, tg=1024):
     N, G = Y.shape
     S = dA2.shape[1]
     SC = muL.shape[1]
@@ -201,6 +248,9 @@ def _fused_bwd(Y, psi_ext, W_ext, muL, dA1, dA2, dZ, tn=256, tg=512):
             jax.ShapeDtypeStruct((S, Gp), jnp.float32),
             jax.ShapeDtypeStruct((Gp, SC), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=_interpret(),
     )(Yp, psi_p, W_p, muL_p, dA1_p, dA2_p, dZ_p)
     return dpsi.sum(axis=0)[:N], dw[:G], dlogmu[:, :G], dmuL[:G]

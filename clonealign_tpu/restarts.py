@@ -34,14 +34,29 @@ def run_clonealign(
     seed: Optional[int] = None,
     key=None,
     elbo_eval: str = "fresh",
+    mesh=None,
+    restart_batching: str = "vmap",
     **kwargs,
 ):
     """Sweep restarts, return the max-ELBO fit with ``multirun_info`` attached
     (reference R/clonealign.R:35-75). Extra kwargs go to the model setup
     (same names as :func:`clonealign`).
+
+    ``mesh`` (a ``jax.sharding.Mesh`` from
+    :func:`clonealign_tpu.parallel.sharding.make_mesh`) shards the data over
+    devices — cells data-parallel, genes tensor-parallel — so the sweep scales
+    across a TPU slice. ``restart_batching``: "vmap" batches every restart
+    into one program (fastest, memory ~ R x one fit); "map" runs restarts
+    sequentially on-device (memory ~ one fit; best at very large N x G).
     """
     verbose = kwargs.get("verbose", True)
     ctx = setup_fit(gene_expression_data, copy_number_data, **kwargs)
+    if restart_batching not in ("vmap", "map"):
+        raise ValueError(f"restart_batching must be 'vmap' or 'map', got {restart_batching!r}")
+    if mesh is not None:
+        from .parallel.sharding import shard_data
+
+        ctx.data = shard_data(ctx.data, mesh)
 
     shrinks = np.asarray(
         [s for s in initial_shrinks for _ in range(n_repeats)], np.float64
@@ -76,10 +91,15 @@ def run_clonealign(
         )
 
     # data passed as an argument (not closure) so it is not baked into the
-    # compiled program as a constant; restarts vmap over (key, shrink) only
-    results = jax.jit(jax.vmap(one_fit, in_axes=(0, 0, None, None)))(
-        keys, jnp.asarray(shrinks, ctx.jdtype), ctx.data, ctx.extra_log_lik
-    )
+    # compiled program as a constant; restarts vmap/map over (key, shrink)
+    if restart_batching == "vmap":
+        sweep = jax.jit(jax.vmap(one_fit, in_axes=(0, 0, None, None)))
+    else:
+        def sweep(keys, shrinks, data, extra):
+            return jax.lax.map(lambda ks: one_fit(ks[0], ks[1], data, extra), (keys, shrinks))
+
+        sweep = jax.jit(sweep)
+    results = sweep(keys, jnp.asarray(shrinks, ctx.jdtype), ctx.data, ctx.extra_log_lik)
 
     final_elbos = np.asarray(results.final_elbo)
     if print_elbos and verbose:

@@ -78,6 +78,30 @@ def test_sharded_fit_matches_unsharded(sim):
     )
 
 
+def test_run_clonealign_on_mesh(sim):
+    """run_clonealign with a mesh + both restart-batching modes agrees."""
+    from clonealign_tpu import run_clonealign
+
+    mesh = make_mesh(gene_parallelism=2)
+    fits = {}
+    for rb in ("vmap", "map"):
+        fits[rb] = run_clonealign(
+            sim.Y, sim.L, initial_shrinks=(5,), n_repeats=2, max_iter=10,
+            seed=1, verbose=False, print_elbos=False, mesh=mesh,
+            restart_batching=rb, dtype="float64",
+        )
+    np.testing.assert_allclose(
+        fits["vmap"].multirun_info["elbos"], fits["map"].multirun_info["elbos"],
+        rtol=1e-9,
+    )
+    assert fits["vmap"].clone == fits["map"].clone
+
+    with pytest.raises(ValueError, match="restart_batching"):
+        run_clonealign(
+            sim.Y, sim.L, restart_batching="bogus", verbose=False,
+        )
+
+
 def test_data_shardings_cover_pytree(sim):
     mesh = make_mesh()
     data = mm.prepare_data(sim.Y, sim.L, dtype=jnp.float64)
