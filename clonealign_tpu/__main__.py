@@ -1,0 +1,175 @@
+"""Command-line interface.
+
+The reference is library-only (SURVEY.md §1: "no CLI"); this is new surface
+for pipeline use:
+
+    python -m clonealign_tpu fit --counts matrix.mtx.gz --cnv cnv.csv --out fit.npz
+    python -m clonealign_tpu show fit.npz
+    python -m clonealign_tpu info
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _load_counts(path: str, transpose: bool):
+    """Counts from .mtx[.gz], a CellRanger dir, .npz (key 'counts'), or CSV."""
+    import os
+
+    gene_names = cell_names = None
+    if os.path.isdir(path):
+        from .io.mtx import load_cellranger_dir
+
+        Y, gene_names, cell_names = load_cellranger_dir(path)
+    elif path.endswith((".mtx", ".mtx.gz")):
+        from .io.mtx import read_mtx
+
+        Y = read_mtx(path, dense=True, transpose=transpose)
+    elif path.endswith(".npz"):
+        z = np.load(path, allow_pickle=False)
+        Y = z["counts"]
+        if "gene_names" in z.files:
+            gene_names = [str(g) for g in z["gene_names"]]
+        if "cell_names" in z.files:
+            cell_names = [str(c) for c in z["cell_names"]]
+    else:
+        Y = np.loadtxt(path, delimiter=",", skiprows=0)
+    return np.asarray(Y, np.float64), gene_names, cell_names
+
+
+def _load_cnv(path: str):
+    """Copy numbers from CSV (header row = clone names; optional leading
+    gene-id column) or .npz (key 'copy_number' [+ 'clone_names'])."""
+    if path.endswith(".npz"):
+        z = np.load(path, allow_pickle=False)
+        L = z["copy_number"]
+        names = [str(c) for c in z["clone_names"]] if "clone_names" in z.files else None
+        return np.asarray(L, np.float64), names
+
+    with open(path) as fh:
+        header = fh.readline().strip().split(",")
+        rows = [line.strip().split(",") for line in fh if line.strip()]
+    # leading gene-id column if the first data cell is non-numeric
+    lead = 0
+    try:
+        float(rows[0][0])
+    except ValueError:
+        lead = 1
+    names = [h.strip() for h in header[lead:]]
+    L = np.asarray([[float(v) for v in r[lead:]] for r in rows])
+    return L, names
+
+
+def cmd_fit(args) -> int:
+    from . import clonealign, run_clonealign
+
+    Y, gene_names, _ = _load_counts(args.counts, args.transpose)
+    L, clone_names = _load_cnv(args.cnv)
+    if clone_names:
+        cnv_input = dict(zip(clone_names, L.T))
+    else:
+        cnv_input = L
+
+    if args.preprocess:
+        from . import preprocess_for_clonealign
+
+        pp = preprocess_for_clonealign(Y, cnv_input)
+        Y = pp.gene_expression_data
+        cnv_input = dict(zip(pp.clone_names, pp.copy_number_data.T))
+
+    common = dict(
+        max_iter=args.max_iter,
+        rel_tol=args.rel_tol,
+        learning_rate=args.learning_rate,
+        clone_call_probability=args.clone_call_probability,
+        seed=args.seed,
+        verbose=not args.quiet,
+    )
+    if args.restarts > 1:
+        fit = run_clonealign(
+            Y, cnv_input, initial_shrinks=(5,), n_repeats=args.restarts,
+            print_elbos=not args.quiet, **common,
+        )
+    else:
+        fit = clonealign(Y, cnv_input, **common)
+
+    fit.save(args.out)
+    if not args.quiet:
+        import collections
+
+        print(fit)
+        print("clone counts:", dict(collections.Counter(fit.clone)))
+        print(f"final ELBO: {fit.convergence_info.final_elbo:.4f}")
+        print(f"saved -> {args.out}")
+    return 0
+
+
+def cmd_show(args) -> int:
+    from .fit import ClonealignFit
+
+    fit = ClonealignFit.load(args.fit)
+    import collections
+
+    print(fit)
+    info = {
+        "clone_counts": dict(collections.Counter(fit.clone)),
+        "final_elbo": fit.convergence_info.final_elbo,
+        "sd_final_elbo": fit.convergence_info.sd_final_elbo,
+        "n_iters": fit.convergence_info.n_iters,
+        "n_retained_genes": len(fit.retained_genes),
+        "median_correlation": float(np.nanmedian(fit.correlations)),
+    }
+    print(json.dumps(info, indent=2, default=str))
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    from . import __version__
+    from .io.mtx import _load_native
+
+    print(f"clonealign-tpu {__version__}")
+    print(f"jax {jax.__version__}, backend: {jax.default_backend()}")
+    print(f"devices: {jax.devices()}")
+    print(f"native loader: {'available' if _load_native() is not None else 'fallback (pure python)'}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="clonealign_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_fit = sub.add_parser("fit", help="assign cells to clones")
+    p_fit.add_argument("--counts", required=True, help=".mtx[.gz], CellRanger dir, .npz, or CSV (cells x genes)")
+    p_fit.add_argument("--cnv", required=True, help="CSV (header = clone names) or .npz copy-number matrix (genes x clones)")
+    p_fit.add_argument("--out", required=True, help="output fit .npz")
+    p_fit.add_argument("--transpose", action="store_true", help="counts file is genes x cells (e.g. raw .mtx from CellRanger)")
+    p_fit.add_argument("--preprocess", action="store_true", help="run preprocess_for_clonealign first")
+    p_fit.add_argument("--restarts", type=int, default=1)
+    p_fit.add_argument("--max-iter", type=int, default=200)
+    p_fit.add_argument("--rel-tol", type=float, default=1e-6)
+    p_fit.add_argument("--learning-rate", type=float, default=0.1)
+    p_fit.add_argument("--clone-call-probability", type=float, default=0.95)
+    p_fit.add_argument("--seed", type=int, default=0)
+    p_fit.add_argument("--quiet", action="store_true")
+    p_fit.set_defaults(fn=cmd_fit)
+
+    p_show = sub.add_parser("show", help="summarize a saved fit")
+    p_show.add_argument("fit", help="fit .npz produced by `fit`")
+    p_show.set_defaults(fn=cmd_show)
+
+    p_info = sub.add_parser("info", help="backend / device / native-loader status")
+    p_info.set_defaults(fn=cmd_info)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -13,7 +13,7 @@ import gzip
 import os
 import subprocess
 import threading
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 

@@ -6,14 +6,17 @@ The decomposed likelihood (models/multinomial.py) needs, per ELBO evaluation:
     A2[n,s]   = sum_g Y[n,g] * log_mu[s,g]
     Z[s,c,n]  = sum_g mu[s,g] * L[g,c] * exp(log_rfe[n,g])
 
-The XLA path materializes exp(psi @ W^T) as an (N, G) tensor (2 GB at
-100k x 5k f32) and reads it plus Y several times per iteration — HBM-bound.
 This kernel makes ONE pass over Y per evaluation: for each (cell-tile,
-gene-tile) it computes the log_rfe tile on the MXU, exponentiates in
-registers, and accumulates all three outputs. No N x G tensor ever exists.
+gene-tile) it computes the log_rfe tile (VPU rank-K broadcasts for small K,
+MXU otherwise), exponentiates in registers, and accumulates all three
+outputs. No N x G tensor ever exists. A custom VJP (same tiling, one more
+pass over Y) makes the whole training step two Y-passes total.
 
-A custom VJP (same tiling, one more pass over Y) makes the whole training
-step two Y-passes total.
+Status: correct and tested, but NOT the default — XLA's own fusion of the
+decomposed likelihood (models/multinomial.py) already streams Y once per
+pass and measures faster in-loop (4.5/4.8 ms vs 11.7/17.5 ms fwd/grad at
+100k x 5k x 10 on v5e). Kept as the scaffold for regimes XLA fuses poorly;
+select with ``ModelConfig(likelihood_impl="fused")``.
 
 Covariates fold in by concatenation: log_rfe = [psi, X] @ [W, beta]^T, so
 callers pass psi_ext = concat(psi, X) and W_ext = concat(W, beta).
@@ -22,7 +25,7 @@ callers pass psi_ext = concat(psi, X) and W_ext = concat(W, beta).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

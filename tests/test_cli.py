@@ -1,0 +1,62 @@
+"""CLI tests (clonealign_tpu/__main__.py): fit -> show -> info round trip."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from clonealign_tpu.__main__ import main
+from clonealign_tpu.synth import assignment_accuracy, simulate_multinomial
+
+
+@pytest.fixture(scope="module")
+def cli_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    sim = simulate_multinomial(N=60, G=40, C=3, seed=9, mean_total=500)
+    dense = sim.Y.T  # genes x cells on disk
+    nz = np.argwhere(dense != 0)
+    with gzip.open(d / "counts.mtx.gz", "wt") as fh:
+        fh.write("%%MatrixMarket matrix coordinate integer general\n")
+        fh.write(f"{dense.shape[0]} {dense.shape[1]} {len(nz)}\n")
+        for r, c in nz:
+            fh.write(f"{r + 1} {c + 1} {int(dense[r, c])}\n")
+    with open(d / "cnv.csv", "w") as fh:
+        fh.write("gene,A,B,C\n")
+        for i, row in enumerate(sim.L):
+            fh.write(f"g{i}," + ",".join(str(int(v)) for v in row) + "\n")
+    return d, sim
+
+
+def test_cli_fit_show_info(cli_files, capsys):
+    d, sim = cli_files
+    rc = main([
+        "fit", "--counts", str(d / "counts.mtx.gz"), "--cnv", str(d / "cnv.csv"),
+        "--out", str(d / "fit.npz"), "--transpose", "--max-iter", "30",
+        "--seed", "1", "--quiet",
+    ])
+    assert rc == 0
+
+    from clonealign_tpu.fit import ClonealignFit
+
+    fit = ClonealignFit.load(str(d / "fit.npz"))
+    acc = assignment_accuracy(fit.clone, fit.clone_names, sim.clone_idx)
+    assert acc > 0.9
+    assert fit.clone_names == ["A", "B", "C"]  # from the CSV header
+
+    rc = main(["show", str(d / "fit.npz")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "clone_counts" in out and "final_elbo" in out
+
+    rc = main(["info"])
+    assert rc == 0
+    assert "clonealign-tpu" in capsys.readouterr().out
+
+
+def test_cli_missing_file(cli_files):
+    d, _ = cli_files
+    with pytest.raises((FileNotFoundError, OSError, ValueError)):
+        main([
+            "fit", "--counts", "/nonexistent.mtx", "--cnv", str(d / "cnv.csv"),
+            "--out", str(d / "x.npz"), "--quiet",
+        ])

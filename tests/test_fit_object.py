@@ -7,7 +7,7 @@ import pytest
 from clonealign_tpu import clonealign
 from clonealign_tpu.assign import compute_ca_fit_mse, recompute_clone_assignment
 from clonealign_tpu.fit import ClonealignFit
-from clonealign_tpu.io.datasets import load_example_clonealign_fit, load_example_sce
+from clonealign_tpu.io.datasets import load_example_clonealign_fit
 from clonealign_tpu.synth import simulate_multinomial
 
 

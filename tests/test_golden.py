@@ -1,0 +1,46 @@
+"""Golden regression tests: fixed-key fits on the bundled example data must
+keep producing the same numbers across refactors. Values captured at float64
+on CPU (any drift beyond tolerance indicates a semantic change to the model
+or loop — bump deliberately, with justification, if that ever happens)."""
+
+import collections
+
+import numpy as np
+import pytest
+
+from clonealign_tpu import clonealign
+from clonealign_tpu.io.datasets import load_example_sce
+
+
+@pytest.fixture(scope="module")
+def golden_fit():
+    sce = load_example_sce()
+    L = dict(zip(sce.clone_names, sce.copy_number.T))
+    return clonealign(sce.counts, L, max_iter=10, seed=42, dtype="float64", verbose=False)
+
+
+def test_golden_initial_elbo(golden_fit):
+    # the ELBO of the initialized model (post gamma warm start) under key 42
+    np.testing.assert_allclose(
+        float(golden_fit.convergence_info.elbo[0]), -18978.319021715994, rtol=1e-9
+    )
+
+
+def test_golden_final_elbo(golden_fit):
+    np.testing.assert_allclose(
+        golden_fit.convergence_info.final_elbo, -16400.453425836364, rtol=1e-9
+    )
+
+
+def test_golden_assignments(golden_fit):
+    counts = collections.Counter(golden_fit.clone)
+    assert counts == {"A": 112, "unassigned": 81, "C": 7}
+
+
+def test_k0_api_contract():
+    """K=0 drops the latent-space params (reference R/inference-tflow.R:469-473)."""
+    sce = load_example_sce()
+    L = dict(zip(sce.clone_names, sce.copy_number.T))
+    fit = clonealign(sce.counts, L, max_iter=5, seed=1, K=0, verbose=False)
+    assert sorted(fit.ml_params.keys()) == ["alpha", "clone_probs", "mu", "s"]
+    assert np.isfinite(fit.convergence_info.final_elbo)
