@@ -115,6 +115,7 @@ def setup_fit(
     mc_samples: int = 1,
     verbose: bool = True,
     data_init_mu=True,
+    y_storage: Optional[str] = None,
 ) -> FitContext:
     """Input parsing + filtering + device data prep
     (reference R/clonealign.R:206-260 and R/inference-tflow.R:111-235)."""
@@ -177,7 +178,13 @@ def setup_fit(
         clone_probs_from_snv = np.asarray(snv_clone_probs(v_log_prob))
 
     config = mm.ModelConfig(K=K, P=P, mc_samples=int(mc_samples), fix_alpha=fix_alpha)
-    data = mm.prepare_data(Y, L, x=x, dtype=jdtype)
+    storage_map = {None: None, "float32": None, "bfloat16": jnp.bfloat16}
+    if y_storage not in storage_map:
+        raise ValueError(
+            f"y_storage must be one of {sorted(k for k in storage_map if k)}, got {y_storage!r}"
+        )
+    storage = storage_map[y_storage]
+    data = mm.prepare_data(Y, L, x=x, dtype=jdtype, y_storage=storage)
 
     return FitContext(
         Y=Y,
@@ -220,6 +227,7 @@ def clonealign(
     key=None,
     elbo_eval: str = "fresh",
     progress: bool = False,
+    y_storage: Optional[str] = None,
 ) -> ClonealignFit:
     """Assign scRNA-seq cells to clones of origin by variational inference.
 
@@ -244,6 +252,7 @@ def clonealign(
         mc_samples=mc_samples,
         verbose=verbose,
         data_init_mu=data_init_mu,
+        y_storage=y_storage,
     )
 
     if key is None:

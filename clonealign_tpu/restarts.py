@@ -35,7 +35,7 @@ def run_clonealign(
     key=None,
     elbo_eval: str = "fresh",
     mesh=None,
-    restart_batching: str = "vmap",
+    restart_batching: str = "auto",
     **kwargs,
 ):
     """Sweep restarts, return the max-ELBO fit with ``multirun_info`` attached
@@ -47,10 +47,17 @@ def run_clonealign(
     devices — cells data-parallel, genes tensor-parallel — so the sweep scales
     across a TPU slice. ``restart_batching``: "vmap" batches every restart
     into one program (fastest, memory ~ R x one fit); "map" runs restarts
-    sequentially on-device (memory ~ one fit; best at very large N x G).
+    sequentially on-device (memory ~ one fit; best at very large N x G);
+    "auto" (default) picks by problem size.
     """
     verbose = kwargs.get("verbose", True)
     ctx = setup_fit(gene_expression_data, copy_number_data, **kwargs)
+    if restart_batching == "auto":
+        # vmap multiplies the per-restart N x G working set by the number of
+        # restarts; beyond ~50M cells*genes that approaches HBM limits, so
+        # fall back to the sequential on-device map (same results).
+        n_elems = ctx.data.Y.shape[0] * ctx.data.Y.shape[1]
+        restart_batching = "map" if n_elems > 50_000_000 else "vmap"
     if restart_batching not in ("vmap", "map"):
         raise ValueError(f"restart_batching must be 'vmap' or 'map', got {restart_batching!r}")
     if mesh is not None:

@@ -1,0 +1,33 @@
+"""bf16 Y-storage mode: assignments must agree with f32 and the ELBO stay
+within bf16 rounding of it (models/multinomial.py prepare_data y_storage)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from clonealign_tpu import clonealign
+from clonealign_tpu.models import multinomial as mm
+from clonealign_tpu.synth import simulate_multinomial
+
+
+def test_bf16_storage_assignment_agreement():
+    sim = simulate_multinomial(N=80, G=60, C=3, seed=11, mean_total=800)
+    f32 = clonealign(sim.Y, sim.L, max_iter=25, seed=0, verbose=False)
+    f16 = clonealign(sim.Y, sim.L, max_iter=25, seed=0, verbose=False, y_storage="bfloat16")
+    assert f32.clone == f16.clone
+    np.testing.assert_allclose(
+        f32.convergence_info.final_elbo, f16.convergence_info.final_elbo, rtol=1e-3
+    )
+
+
+def test_prepare_data_downcast_after_stats():
+    """Derived statistics are computed at full precision BEFORE the downcast:
+    totals/log-binomials must be exact even when Y storage is bf16."""
+    rng = np.random.default_rng(0)
+    Y = rng.integers(0, 2000, (10, 8)).astype(np.float64)  # counts > bf16-exact range
+    L = np.ones((8, 2))
+    d16 = mm.prepare_data(Y, L, dtype=jnp.float32, y_storage=jnp.bfloat16)
+    d32 = mm.prepare_data(Y, L, dtype=jnp.float32)
+    assert d16.Y.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(d16.s), np.asarray(d32.s))
+    np.testing.assert_array_equal(np.asarray(d16.log_binom), np.asarray(d32.log_binom))
+    np.testing.assert_array_equal(np.asarray(d16.YlogL), np.asarray(d32.YlogL))
