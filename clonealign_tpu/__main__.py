@@ -30,6 +30,16 @@ def _load_counts(path: str, transpose: bool):
         from .io.mtx import read_mtx
 
         Y = read_mtx(path, dense=True, transpose=transpose)
+    elif path.endswith(".h5ad"):
+        from .io.h5 import read_h5ad
+
+        cm = read_h5ad(path)
+        Y, gene_names, cell_names = cm.counts, cm.gene_names, cm.cell_names
+    elif path.endswith((".h5", ".hdf5")):
+        from .io.h5 import read_10x_h5
+
+        cm = read_10x_h5(path)
+        Y, gene_names, cell_names = cm.counts, cm.gene_names, cm.cell_names
     elif path.endswith(".npz"):
         z = np.load(path, allow_pickle=False)
         Y = z["counts"]
@@ -146,7 +156,7 @@ def main(argv=None) -> int:
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p_fit = sub.add_parser("fit", help="assign cells to clones")
-    p_fit.add_argument("--counts", required=True, help=".mtx[.gz], CellRanger dir, .npz, or CSV (cells x genes)")
+    p_fit.add_argument("--counts", required=True, help=".mtx[.gz], CellRanger dir, .h5ad, 10x .h5, .npz, or CSV (cells x genes)")
     p_fit.add_argument("--cnv", required=True, help="CSV (header = clone names) or .npz copy-number matrix (genes x clones)")
     p_fit.add_argument("--out", required=True, help="output fit .npz")
     p_fit.add_argument("--transpose", action="store_true", help="counts file is genes x cells (e.g. raw .mtx from CellRanger)")

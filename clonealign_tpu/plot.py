@@ -18,6 +18,25 @@ from typing import Optional, Sequence
 import numpy as np
 
 
+def plot_elbo(fit, ax=None):
+    """ELBO-trace convergence plot (the reference vignette's
+    ``qplot(elbo)`` check, introduction_to_clonealign.Rmd:158-161)."""
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        _, ax = plt.subplots(figsize=(6, 3))
+    trace = np.asarray(fit.convergence_info.elbo, np.float64)
+    ax.plot(np.arange(len(trace)), trace, lw=1.5)
+    ax.set_xlabel("Iteration")
+    ax.set_ylabel("ELBO")
+    ax.set_title(
+        f"final: {fit.convergence_info.final_elbo:.1f} "
+        f"± {fit.convergence_info.sd_final_elbo:.1f}",
+        fontsize=9,
+    )
+    return ax.figure
+
+
 def _rank(x):
     """R's rank() with average ties."""
     x = np.asarray(x, np.float64)

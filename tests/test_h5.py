@@ -1,0 +1,88 @@
+"""HDF5 ingestion tests (clonealign_tpu/io/h5.py): synthetic .h5ad and
+CellRanger .h5 files round-trip into clonealign's input orientation."""
+
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+sp = pytest.importorskip("scipy.sparse")
+
+from clonealign_tpu.io.h5 import read_10x_h5, read_h5ad
+
+
+@pytest.fixture(scope="module")
+def dense():
+    rng = np.random.default_rng(0)
+    return rng.poisson(1.0, (30, 20)).astype(np.float64)  # cells x genes
+
+
+def _write_h5ad(path, X, sparse=False, layer=None):
+    with h5py.File(path, "w") as f:
+        def write_X(key, arr):
+            if sparse:
+                m = sp.csr_matrix(arr)
+                g = f.create_group(key)
+                g.attrs["encoding-type"] = "csr_matrix"
+                g.attrs["shape"] = arr.shape
+                g["data"] = m.data
+                g["indices"] = m.indices
+                g["indptr"] = m.indptr
+            else:
+                f[key] = arr
+
+        write_X("X", X)
+        if layer:
+            write_X(f"layers/{layer}", X * 2)
+        obs = f.create_group("obs")
+        obs.attrs["_index"] = "cell_id"
+        obs["cell_id"] = np.array([f"cell{i}".encode() for i in range(X.shape[0])])
+        var = f.create_group("var")
+        var.attrs["_index"] = "gene_id"
+        var["gene_id"] = np.array([f"gene{j}".encode() for j in range(X.shape[1])])
+
+
+@pytest.mark.parametrize("sparse", [False, True])
+def test_h5ad_roundtrip(tmp_path, dense, sparse):
+    p = str(tmp_path / "t.h5ad")
+    _write_h5ad(p, dense, sparse=sparse)
+    cm = read_h5ad(p)
+    np.testing.assert_array_equal(cm.counts, dense)
+    assert cm.cell_names[0] == "cell0" and cm.gene_names[-1] == "gene19"
+
+
+def test_h5ad_layer(tmp_path, dense):
+    p = str(tmp_path / "t.h5ad")
+    _write_h5ad(p, dense, layer="counts")
+    cm = read_h5ad(p, layer="counts")
+    np.testing.assert_array_equal(cm.counts, dense * 2)
+    with pytest.raises(ValueError, match="not found"):
+        read_h5ad(p, layer="bogus")
+
+
+def test_10x_h5_roundtrip(tmp_path, dense):
+    p = str(tmp_path / "t.h5")
+    genes_by_cells = sp.csc_matrix(dense.T)
+    with h5py.File(p, "w") as f:
+        g = f.create_group("matrix")
+        g["data"] = genes_by_cells.data
+        g["indices"] = genes_by_cells.indices
+        g["indptr"] = genes_by_cells.indptr
+        g["shape"] = np.array(genes_by_cells.shape)
+        g["barcodes"] = np.array([f"BC{i}".encode() for i in range(dense.shape[0])])
+        feat = g.create_group("features")
+        feat["id"] = np.array([f"ENSG{j}".encode() for j in range(dense.shape[1])])
+    cm = read_10x_h5(p)
+    np.testing.assert_array_equal(cm.counts, dense)
+    assert cm.gene_names[0] == "ENSG0" and cm.cell_names[0] == "BC0"
+
+
+def test_h5ad_feeds_clonealign(tmp_path, dense):
+    from clonealign_tpu import clonealign
+
+    p = str(tmp_path / "t.h5ad")
+    _write_h5ad(p, dense + 1)  # avoid zero-count cells
+    cm = read_h5ad(p)
+    L = np.tile([[2.0, 3.0]], (cm.counts.shape[1], 1))
+    L[::2, 0] = 1
+    fit = clonealign(cm.counts, L, max_iter=3, seed=0, verbose=False)
+    assert len(fit.clone) == dense.shape[0]
