@@ -51,6 +51,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from clonealign_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from clonealign_tpu.infer import run_inference
     from clonealign_tpu.models import multinomial as mm
 

@@ -112,6 +112,9 @@ def config5_large():
 
 
 def main():
+    from clonealign_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     config1_example_sce()
     config2_model3()
     config3_multirestart()

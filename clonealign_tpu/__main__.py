@@ -152,6 +152,9 @@ def cmd_info(args) -> int:
 
 
 def main(argv=None) -> int:
+    from .utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(prog="clonealign_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 

@@ -15,6 +15,7 @@ surface (SURVEY.md §2.3). Documented divergences from reference quirks
 
 from __future__ import annotations
 
+import functools
 import warnings
 from typing import Optional
 
@@ -202,6 +203,81 @@ def setup_fit(
     )
 
 
+def _mu_init_array(data_init_mu, jdtype):
+    """User-supplied mu init as a traced array (None for the bool cases)."""
+    if isinstance(data_init_mu, bool):
+        return None
+    return jnp.asarray(data_init_mu, jdtype)
+
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config",
+        "data_init_mu",
+        "jdtype_name",
+        "max_iter",
+        "rel_tol",
+        "learning_rate",
+        "initial_shrink",
+        "elbo_eval",
+        "progress",
+    ),
+)
+def _fit_program(
+    key,
+    data,
+    extra_log_lik,
+    mu_init,
+    *,
+    config,
+    data_init_mu,
+    jdtype_name,
+    max_iter,
+    rel_tol,
+    learning_rate,
+    initial_shrink,
+    elbo_eval,
+    progress,
+):
+    """The fully-jitted fit: init (PCA included) + warm start + Adam loop +
+    final ELBO estimate.
+
+    Module-level with static config so repeat ``clonealign()`` calls on
+    same-shaped data REUSE the compiled program (a per-call ``@jax.jit``
+    closure would recompile every invocation — several seconds locally and
+    minutes over a remote-compile service). Data is an argument, never a
+    closure: closed-over device arrays are baked into the serialized program
+    as constants.
+    """
+    jdtype = jnp.dtype(jdtype_name)
+    init_mu = data_init_mu if isinstance(data_init_mu, bool) else mu_init
+    k_init, k_fit = jax.random.split(key)
+    params0 = mm.init_params(
+        data.Y,
+        data.L,
+        k_init,
+        K=config.K,
+        P=config.P,
+        data_init_mu=init_mu,
+        dtype=jdtype,
+    )
+    return run_inference(
+        params0,
+        data,
+        k_fit,
+        config,
+        max_iter=max_iter,
+        rel_tol=rel_tol,
+        learning_rate=learning_rate,
+        initial_shrink=initial_shrink,
+        extra_log_lik=extra_log_lik,
+        elbo_eval=elbo_eval,
+        progress=progress,
+    )
+
+
 def clonealign(
     gene_expression_data,
     copy_number_data,
@@ -258,37 +334,21 @@ def clonealign(
     if key is None:
         key = jax.random.PRNGKey(0 if seed is None else int(seed))
 
-    # One fully-jitted program: init (PCA included) + warm start + Adam loop
-    # + final ELBO estimate. The data pytree is an ARGUMENT, not a closure —
-    # closed-over device arrays become compile-time constants, which embeds
-    # the full N x G matrix into the serialized program.
-    @jax.jit
-    def _fit(k, data, extra_log_lik):
-        k_init, k_fit = jax.random.split(k)
-        params0 = mm.init_params(
-            data.Y,
-            data.L,
-            k_init,
-            K=ctx.config.K,
-            P=ctx.config.P,
-            data_init_mu=ctx.data_init_mu,
-            dtype=ctx.jdtype,
-        )
-        return run_inference(
-            params0,
-            data,
-            k_fit,
-            ctx.config,
-            max_iter=int(max_iter),
-            rel_tol=float(rel_tol),
-            learning_rate=float(learning_rate),
-            initial_shrink=float(initial_shrink),
-            extra_log_lik=extra_log_lik,
-            elbo_eval=elbo_eval,
-            progress=progress,
-        )
-
-    result = _fit(key, ctx.data, ctx.extra_log_lik)
+    result = _fit_program(
+        key,
+        ctx.data,
+        ctx.extra_log_lik,
+        _mu_init_array(ctx.data_init_mu, ctx.jdtype),
+        config=ctx.config,
+        data_init_mu=ctx.data_init_mu if isinstance(ctx.data_init_mu, bool) else "array",
+        jdtype_name=str(jnp.dtype(ctx.jdtype)),
+        max_iter=int(max_iter),
+        rel_tol=float(rel_tol),
+        learning_rate=float(learning_rate),
+        initial_shrink=float(initial_shrink),
+        elbo_eval=elbo_eval,
+        progress=progress,
+    )
 
     return _package_fit(
         result,

@@ -9,6 +9,7 @@ that converge early freeze in place (see infer.py) while the rest continue.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -19,6 +20,59 @@ from . import assign as _assign
 from .api import _package_fit, setup_fit
 from .infer import run_inference
 from .models import multinomial as mm
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config",
+        "data_init_mu",
+        "jdtype_name",
+        "max_iter",
+        "rel_tol",
+        "learning_rate",
+        "elbo_eval",
+        "restart_batching",
+    ),
+)
+def _sweep_program(
+    keys,
+    shrinks,
+    data,
+    extra_log_lik,
+    mu_init,
+    *,
+    config,
+    data_init_mu,
+    jdtype_name,
+    max_iter,
+    rel_tol,
+    learning_rate,
+    elbo_eval,
+    restart_batching,
+):
+    """The whole restart sweep as ONE jitted program. Module-level with
+    static config so repeat sweeps on same-shaped data reuse the compiled
+    program; data is an argument so it is never baked in as a constant."""
+    jdtype = jnp.dtype(jdtype_name)
+    init_mu = data_init_mu if isinstance(data_init_mu, bool) else mu_init
+
+    def one_fit(k, shrink):
+        k_init, k_fit = jax.random.split(k)
+        params0 = mm.init_params(
+            data.Y, data.L, k_init, K=config.K, P=config.P,
+            data_init_mu=init_mu, dtype=jdtype,
+        )
+        return run_inference(
+            params0, data, k_fit, config,
+            max_iter=max_iter, rel_tol=rel_tol, learning_rate=learning_rate,
+            initial_shrink=shrink, extra_log_lik=extra_log_lik,
+            elbo_eval=elbo_eval,
+        )
+
+    if restart_batching == "vmap":
+        return jax.vmap(one_fit)(keys, shrinks)
+    return jax.lax.map(lambda ks: one_fit(ks[0], ks[1]), (keys, shrinks))
 
 
 def run_clonealign(
@@ -73,40 +127,23 @@ def run_clonealign(
         key = jax.random.PRNGKey(0 if seed is None else int(seed))
     keys = jax.random.split(key, R)
 
-    def one_fit(k, shrink, data, extra_log_lik):
-        k_init, k_fit = jax.random.split(k)
-        params0 = mm.init_params(
-            data.Y,
-            data.L,
-            k_init,
-            K=ctx.config.K,
-            P=ctx.config.P,
-            data_init_mu=ctx.data_init_mu,
-            dtype=ctx.jdtype,
-        )
-        return run_inference(
-            params0,
-            data,
-            k_fit,
-            ctx.config,
-            max_iter=int(max_iter),
-            rel_tol=float(rel_tol),
-            learning_rate=float(learning_rate),
-            initial_shrink=shrink,
-            extra_log_lik=extra_log_lik,
-            elbo_eval=elbo_eval,
-        )
+    from .api import _mu_init_array
 
-    # data passed as an argument (not closure) so it is not baked into the
-    # compiled program as a constant; restarts vmap/map over (key, shrink)
-    if restart_batching == "vmap":
-        sweep = jax.jit(jax.vmap(one_fit, in_axes=(0, 0, None, None)))
-    else:
-        def sweep(keys, shrinks, data, extra):
-            return jax.lax.map(lambda ks: one_fit(ks[0], ks[1], data, extra), (keys, shrinks))
-
-        sweep = jax.jit(sweep)
-    results = sweep(keys, jnp.asarray(shrinks, ctx.jdtype), ctx.data, ctx.extra_log_lik)
+    results = _sweep_program(
+        keys,
+        jnp.asarray(shrinks, ctx.jdtype),
+        ctx.data,
+        ctx.extra_log_lik,
+        _mu_init_array(ctx.data_init_mu, ctx.jdtype),
+        config=ctx.config,
+        data_init_mu=ctx.data_init_mu if isinstance(ctx.data_init_mu, bool) else "array",
+        jdtype_name=str(jnp.dtype(ctx.jdtype)),
+        max_iter=int(max_iter),
+        rel_tol=float(rel_tol),
+        learning_rate=float(learning_rate),
+        elbo_eval=elbo_eval,
+        restart_batching=restart_batching,
+    )
 
     final_elbos = np.asarray(results.final_elbo)
     if print_elbos and verbose:
