@@ -115,6 +115,7 @@ def main():
         "unit": "cells/s",
         "vs_baseline": round(cells_per_sec / per_chip_baseline, 2),
         "elapsed_s": round(elapsed, 2),
+        "vi_steps_per_sec": round(max_iter * R / elapsed, 1),
         "config": {"N": N, "G": G, "C": C, "restarts": R, "max_iter": max_iter},
         "final_elbos": [round(float(f), 1) for f in finals],
     }

@@ -41,7 +41,7 @@ def config1_example_sce():
 
     sce = load_example_sce()
     L = dict(zip(sce.clone_names, sce.copy_number.T))
-    clonealign(sce.counts, L, max_iter=5, seed=0, verbose=False)  # warm up compile
+    clonealign(sce.counts, L, max_iter=200, seed=9, verbose=False)  # warm up compile
     t0 = time.perf_counter()
     fit = clonealign(sce.counts, L, max_iter=200, seed=0, verbose=False)
     report("1: example_sce 200x100x3", sce.n_cells, 1, time.perf_counter() - t0, fit)
