@@ -223,6 +223,9 @@ def _mu_init_array(data_init_mu, jdtype):
         "initial_shrink",
         "elbo_eval",
         "progress",
+        "loop_impl",
+        "unroll",
+        "remat",
     ),
 )
 def _fit_program(
@@ -240,6 +243,9 @@ def _fit_program(
     initial_shrink,
     elbo_eval,
     progress,
+    loop_impl="while",
+    unroll=1,
+    remat=True,
 ):
     """The fully-jitted fit: init (PCA included) + warm start + Adam loop +
     final ELBO estimate.
@@ -275,6 +281,9 @@ def _fit_program(
         extra_log_lik=extra_log_lik,
         elbo_eval=elbo_eval,
         progress=progress,
+        loop_impl=loop_impl,
+        unroll=unroll,
+        remat=remat,
     )
 
 
@@ -304,6 +313,9 @@ def clonealign(
     elbo_eval: str = "fresh",
     progress: bool = False,
     y_storage: Optional[str] = None,
+    loop_impl: str = "while",
+    unroll: int = 1,
+    remat: bool = True,
 ) -> ClonealignFit:
     """Assign scRNA-seq cells to clones of origin by variational inference.
 
@@ -348,6 +360,9 @@ def clonealign(
         initial_shrink=float(initial_shrink),
         elbo_eval=elbo_eval,
         progress=progress,
+        loop_impl=loop_impl,
+        unroll=unroll,
+        remat=remat,
     )
 
     return _package_fit(

@@ -33,6 +33,8 @@ from .models import multinomial as mm
         "learning_rate",
         "elbo_eval",
         "restart_batching",
+        "loop_impl",
+        "unroll",
     ),
 )
 def _sweep_program(
@@ -50,6 +52,8 @@ def _sweep_program(
     learning_rate,
     elbo_eval,
     restart_batching,
+    loop_impl="while",
+    unroll=1,
 ):
     """The whole restart sweep as ONE jitted program. Module-level with
     static config so repeat sweeps on same-shaped data reuse the compiled
@@ -67,7 +71,7 @@ def _sweep_program(
             params0, data, k_fit, config,
             max_iter=max_iter, rel_tol=rel_tol, learning_rate=learning_rate,
             initial_shrink=shrink, extra_log_lik=extra_log_lik,
-            elbo_eval=elbo_eval,
+            elbo_eval=elbo_eval, loop_impl=loop_impl, unroll=unroll,
         )
 
     if restart_batching == "vmap":
@@ -90,6 +94,8 @@ def run_clonealign(
     elbo_eval: str = "fresh",
     mesh=None,
     restart_batching: str = "auto",
+    loop_impl: str = "while",
+    unroll: int = 1,
     **kwargs,
 ):
     """Sweep restarts, return the max-ELBO fit with ``multirun_info`` attached
@@ -143,6 +149,8 @@ def run_clonealign(
         learning_rate=float(learning_rate),
         elbo_eval=elbo_eval,
         restart_batching=restart_batching,
+        loop_impl=loop_impl,
+        unroll=unroll,
     )
 
     final_elbos = np.asarray(results.final_elbo)

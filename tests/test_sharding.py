@@ -102,6 +102,25 @@ def test_run_clonealign_on_mesh(sim):
         )
 
 
+def test_sharded_elbo_with_covariates(sim):
+    """Covariate matrix X shards over the cell axis and the sharded ELBO
+    matches single-device exactly."""
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(sim.Y.shape[0], 2))
+    mesh = make_mesh(gene_parallelism=2)
+    config = mm.ModelConfig(K=1, P=2, mc_samples=1)
+    key = jax.random.PRNGKey(0)
+
+    data = mm.prepare_data(sim.Y, sim.L, x=x, dtype=jnp.float64)
+    params = mm.init_params(sim.Y, sim.L, key, K=1, P=2, dtype=jnp.float64)
+    ref = float(jax.jit(mm.elbo, static_argnames="config")(params, data, key, config))
+
+    sharded = shard_data(data, mesh)
+    assert sharded.X is not None
+    val = float(jax.jit(mm.elbo, static_argnames="config")(params, sharded, key, config))
+    np.testing.assert_allclose(val, ref, rtol=1e-12)
+
+
 def test_data_shardings_cover_pytree(sim):
     mesh = make_mesh()
     data = mm.prepare_data(sim.Y, sim.L, dtype=jnp.float64)
