@@ -261,7 +261,7 @@ class _Reader:
             items = []
             for _ in range(n):
                 items.append(self.read_item())
-            return self._with_attrs(items, has_attr, is_list=True)
+            return self._with_attrs(items, has_attr)
         if ptype in (VECSXP, EXPRSXP):
             n = self._length()
             items = [self.read_item() for _ in range(n)]
@@ -337,7 +337,7 @@ class _Reader:
         obj = self.read_item()
         return obj
 
-    def _with_attrs(self, arr, has_attr: bool, is_list: bool = False):
+    def _with_attrs(self, arr, has_attr: bool):
         attrs = self.read_item() if has_attr else {}
         if not isinstance(attrs, dict):
             attrs = {}

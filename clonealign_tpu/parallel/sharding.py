@@ -125,7 +125,7 @@ def sharded_fit(
     restarts vmapped, one jitted program. Returns the stacked
     :class:`~clonealign_tpu.infer.InferenceResult` over restarts.
     """
-    from ..infer import run_inference
+    from ..restarts import _sweep_program
 
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -141,17 +141,24 @@ def sharded_fit(
         n_restarts = shrinks.shape[0]
     keys = jax.random.split(key, n_restarts)
 
-    def one_fit(k, shrink):
-        k_init, k_fit = jax.random.split(k)
-        params0 = mm.init_params(
-            data.Y, data.L, k_init, K=config.K, P=config.P,
-            data_init_mu=data_init_mu, dtype=dtype,
-        )
-        params0 = constrain_params(params0, mesh)
-        return run_inference(
-            params0, data, k_fit, config,
-            initial_shrink=shrink, extra_log_lik=extra_log_lik, **infer_kwargs,
-        )
-
-    fit_all = jax.jit(jax.vmap(one_fit))
-    return fit_all(keys, shrinks)
+    # delegate to the shared module-level sweep program (compiled once per
+    # shape; shardings propagate from the mesh-placed data arguments)
+    mu_init = None
+    if not isinstance(data_init_mu, bool):
+        mu_init = jnp.asarray(data_init_mu, dtype)
+    return _sweep_program(
+        keys,
+        shrinks,
+        data,
+        extra_log_lik,
+        mu_init,
+        config=config,
+        data_init_mu=data_init_mu if isinstance(data_init_mu, bool) else "array",
+        jdtype_name=str(jnp.dtype(dtype)),
+        max_iter=int(infer_kwargs.pop("max_iter", 100)),
+        rel_tol=float(infer_kwargs.pop("rel_tol", 1e-5)),
+        learning_rate=float(infer_kwargs.pop("learning_rate", 0.1)),
+        elbo_eval=infer_kwargs.pop("elbo_eval", "fresh"),
+        restart_batching="vmap",
+        **infer_kwargs,
+    )
