@@ -144,6 +144,12 @@ def setup_fit(
 
     if (Y.sum(axis=1) == 0).any():
         raise ValueError("Some cells have no counts mapping")  # R/inference-tflow.R:212-214
+    if K > 0 and N < 2:
+        raise ValueError(
+            "At least 2 cells are required when K > 0 (the PCA initialization "
+            "of the latent space needs multiple cells); pass K=0 for a "
+            "single-cell fit"
+        )
 
     # --- saturation (reference R/inference-tflow.R:142-144) ---
     if saturate:

@@ -337,7 +337,13 @@ def elbo(
     log_gamma = jax.nn.log_softmax(params.gamma_logits, axis=1)
 
     E_p_y_on_c = jnp.mean(p_y, axis=0)  # (C, N)
-    EE_p_y = jnp.sum(gamma * E_p_y_on_c.T)
+    # xlogy-style guard: a clone with zero copy number at an expressed gene
+    # has log-lik -inf; its responsibility is exactly 0 (see
+    # gamma_warm_start_logits), and 0 * -inf must contribute 0, not NaN.
+    # The -inf is masked BEFORE the multiply (double-where) so the backward
+    # pass never sees 0 * inf either.
+    safe_ll = jnp.where(gamma == 0, 0.0, E_p_y_on_c.T)
+    EE_p_y = jnp.sum(gamma * safe_ll)
 
     if config.fix_alpha:
         # Documented-but-dead reference flag (SURVEY.md §2.4 item 2),
@@ -401,5 +407,12 @@ def gamma_warm_start_logits(
     mu_base = sample_mu_base(params, key, config.mc_samples)
     p_y = log_p_y_on_c(params, data, mu_base, extra_log_lik, config)  # (S, C, N)
     g = jnp.sum(p_y, axis=0)  # (C, N)
+    impossible = jnp.isneginf(g)  # zero-CN clone at an expressed gene
     g = g - jax.scipy.special.logsumexp(g, axis=0, keepdims=True)
-    return (initial_shrink / 5.0) * g.T  # (N, C)
+    logits = (initial_shrink / 5.0) * jnp.maximum(g, -1e30)
+    # impossible clones stay impossible at ANY shrink (including 0): their
+    # logit is pinned at a finite value whose softmax underflows to exactly
+    # 0, which keeps both the ELBO (see elbo()'s masked sum) and Adam's
+    # moments finite.
+    logits = jnp.where(impossible, -1e30, logits)
+    return logits.T  # (N, C)

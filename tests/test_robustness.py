@@ -1,0 +1,60 @@
+"""Degenerate-input robustness: zero copy numbers, tiny shapes, huge counts.
+
+The zero-CN case is where this implementation deliberately diverges from the
+reference (which would NaN through TFP's 0*log(0)): a clone with zero copy
+number at an expressed gene gets exactly-zero responsibility, the masked
+ELBO stays finite, and gradients are NaN-free at every initial_shrink.
+"""
+
+import numpy as np
+import pytest
+
+from clonealign_tpu import clonealign
+
+
+@pytest.fixture(scope="module")
+def zero_cn_case():
+    rng = np.random.default_rng(0)
+    Y = rng.poisson(5, (20, 15)) + 1.0
+    L = np.where(rng.uniform(size=(15, 2)) < 0.1, 0, 2).astype(float)
+    L[:, 1] = rng.integers(1, 4, 15)  # clone B has no zeros and varies
+    return Y, L
+
+
+@pytest.mark.parametrize("shrink", [0.0, 5.0, 10.0])
+def test_zero_copy_number_stays_finite(zero_cn_case, shrink):
+    Y, L = zero_cn_case
+    fit = clonealign(Y, L, max_iter=10, seed=0, verbose=False, initial_shrink=shrink)
+    assert np.isfinite(fit.convergence_info.final_elbo)
+    assert np.isfinite(fit.convergence_info.elbo).all()
+    # cells expressing a zero-CN-in-A gene can never be assigned to A
+    zero_genes = np.flatnonzero(L[:, 0] == 0)
+    impossible_cells = np.flatnonzero(Y[:, zero_genes].sum(axis=1) > 0)
+    probs = fit.ml_params["clone_probs"]
+    np.testing.assert_allclose(probs[impossible_cells, 0], 0.0, atol=1e-30)
+
+
+def test_single_cell_requires_k0(zero_cn_case):
+    Y, L = zero_cn_case
+    with pytest.raises(ValueError, match="At least 2 cells"):
+        clonealign(Y[:1], L, max_iter=2, verbose=False)
+    fit = clonealign(Y[:1], np.tile([[1.0, 3.0]], (15, 1)), max_iter=3, K=0,
+                     verbose=False, seed=0)
+    assert np.isfinite(fit.convergence_info.final_elbo)
+
+
+def test_tiny_and_extreme_shapes():
+    rng = np.random.default_rng(1)
+    # single gene
+    f = clonealign(rng.poisson(5, (30, 1)) + 1.0, np.array([[1.0, 2.0]]),
+                   max_iter=3, seed=0, verbose=False)
+    assert np.isfinite(f.convergence_info.final_elbo)
+    # single clone
+    f = clonealign(rng.poisson(5, (30, 20)) + 1.0, np.full((20, 1), 2.0),
+                   max_iter=3, seed=0, verbose=False)
+    assert set(f.clone) == {"clone_a"}
+    # huge counts
+    f = clonealign(rng.poisson(5, (20, 15)).astype(float) * 1e6 + 1,
+                   rng.integers(1, 4, (15, 2)).astype(float),
+                   max_iter=3, seed=0, verbose=False)
+    assert np.isfinite(f.convergence_info.final_elbo)
