@@ -1,0 +1,31 @@
+"""Convergence-rule semantics (reference R/inference-tflow.R:379,404-416):
+mean |relative ELBO change| over a 10-iteration window below rel_tol stops
+the loop; the trace reflects the actual number of iterations run."""
+
+import numpy as np
+
+from clonealign_tpu import clonealign
+from clonealign_tpu.synth import simulate_multinomial
+
+
+def test_early_exit_on_loose_tolerance():
+    sim = simulate_multinomial(N=60, G=40, C=2, seed=2, mean_total=400)
+    # rel_tol=1 is looser than any post-warm-up change: the window of
+    # initial 1e3 sentinels still forces >= ~1 iteration, then it stops
+    fit = clonealign(sim.Y, sim.L, max_iter=200, rel_tol=1.0, seed=0, verbose=False)
+    assert fit.convergence_info.n_iters < 200
+    assert len(fit.convergence_info.elbo) == fit.convergence_info.n_iters + 1
+
+    tight = clonealign(sim.Y, sim.L, max_iter=40, rel_tol=0.0, seed=0, verbose=False)
+    assert tight.convergence_info.n_iters == 40
+
+
+def test_window_requires_sustained_stability():
+    """The 10-wide window means at least ~10 iterations must pass before the
+    initial 1e3 sentinels wash out, even at loose tolerance."""
+    sim = simulate_multinomial(N=60, G=40, C=2, seed=3, mean_total=400)
+    fit = clonealign(sim.Y, sim.L, max_iter=200, rel_tol=1e-2, seed=0, verbose=False)
+    # window starts at [1e3]*10; each iter replaces one sentinel; mean
+    # cannot drop below 1e-2 until most sentinels are gone
+    assert fit.convergence_info.n_iters >= 8
+    assert np.isfinite(fit.convergence_info.elbo).all()
