@@ -120,6 +120,8 @@ def setup_fit(
 ) -> FitContext:
     """Input parsing + filtering + device data prep
     (reference R/clonealign.R:206-260 and R/inference-tflow.R:111-235)."""
+    if verbose:
+        print("Constructing model")  # reference R/inference-tflow.R:102-104
     Y, gene_names, _cell_names = _parse_expression(gene_expression_data)
     N, G = Y.shape
     if K is None:
@@ -170,6 +172,8 @@ def setup_fit(
     extra_log_lik = None
     clone_probs_from_snv = None
     if use_allele:
+        if verbose:
+            print("Using allelic imbalance info")  # R/inference-tflow.R:169-171
         clone_allele = np.asarray(clone_allele, np.float64)
         cov = np.asarray(cov, np.float64)
         ref = np.asarray(ref, np.float64)
@@ -352,6 +356,8 @@ def clonealign(
     if key is None:
         key = jax.random.PRNGKey(0 if seed is None else int(seed))
 
+    if verbose:
+        print("Optimizing ELBO")  # reference R/inference-tflow.R:383
     result = _fit_program(
         key,
         ctx.data,
@@ -371,6 +377,8 @@ def clonealign(
         remat=remat,
     )
 
+    if verbose:
+        print("ELBO converged or reached max iterations")  # R/inference-tflow.R:420
     return _package_fit(
         result,
         ctx.Y,
