@@ -1,0 +1,48 @@
+"""compute_correlations against hand-computed values (reference
+R/clonealign.R:318-334 semantics: z-score expression over assigned cells,
+Pearson r against the assigned clone's copy number, NaN where degenerate)."""
+
+import numpy as np
+
+from clonealign_tpu.assign import compute_correlations
+
+
+def test_hand_computed_example():
+    # 4 cells, 2 genes, 2 clones; one cell unassigned
+    Y = np.array([
+        [1.0, 10.0],
+        [2.0, 20.0],
+        [3.0, 30.0],
+        [9.0, 90.0],  # unassigned -> dropped
+    ])
+    L = np.array([
+        [1.0, 3.0],   # gene 0 CN per clone
+        [2.0, 2.0],   # gene 1: same CN both clones
+    ])
+    clones = ["A", "A", "B", "unassigned"]
+    out = compute_correlations(Y, L, clones, ["A", "B"])
+
+    # gene 0: x = CN of assigned clone = [1,1,3]; y = z-scored [1,2,3]
+    x = np.array([1.0, 1.0, 3.0])
+    y = np.array([1.0, 2.0, 3.0])
+    y = (y - y.mean()) / y.std(ddof=1)
+    expected = np.corrcoef(x, y)[0, 1]
+    np.testing.assert_allclose(out[0], expected, rtol=1e-12)
+
+    # gene 1: x = [2,2,2] constant -> NaN (R cor returns NA)
+    assert np.isnan(out[1])
+
+
+def test_all_unassigned_gives_nan():
+    Y = np.ones((3, 2))
+    L = np.ones((2, 2))
+    out = compute_correlations(Y, L, ["unassigned"] * 3, ["A", "B"])
+    assert np.isnan(out).all()
+
+
+def test_zero_variance_expression_nan():
+    Y = np.array([[5.0, 1.0], [5.0, 2.0], [5.0, 3.0]])
+    L = np.array([[1.0, 2.0], [1.0, 3.0]])
+    out = compute_correlations(Y, L, ["A", "B", "B"], ["A", "B"])
+    assert np.isnan(out[0])  # constant expression
+    assert np.isfinite(out[1])
