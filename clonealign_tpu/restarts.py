@@ -96,6 +96,7 @@ def run_clonealign(
     restart_batching: str = "auto",
     loop_impl: str = "while",
     unroll: int = 1,
+    multirun_correlations: Optional[bool] = None,
     **kwargs,
 ):
     """Sweep restarts, return the max-ELBO fit with ``multirun_info`` attached
@@ -172,7 +173,12 @@ def run_clonealign(
         verbose,
     )
 
-    # multirun_info (reference R/clonealign.R:67-73)
+    # multirun_info (reference R/clonealign.R:67-73). The per-run median
+    # correlations are an O(R * N * G) host-side computation — worthwhile QC
+    # at reference scale, but skipped automatically for very large problems
+    # (pass multirun_correlations=True/False to force).
+    if multirun_correlations is None:
+        multirun_correlations = ctx.Y.size * R <= 500_000_000
     prevalences = []
     median_correlations = []
     all_gamma = np.asarray(jax.nn.softmax(results.params.gamma_logits, axis=-1))
@@ -182,9 +188,12 @@ def run_clonealign(
         )
         labels, counts = np.unique(np.asarray(clones_r, object), return_counts=True)
         prevalences.append(dict(zip([str(l) for l in labels], counts.tolist())))
-        corr_r = _assign.compute_correlations(ctx.Y, ctx.L, clones_r, ctx.clone_names)
-        finite = corr_r[np.isfinite(corr_r)]
-        median_correlations.append(float(np.median(finite)) if finite.size else np.nan)
+        if multirun_correlations:
+            corr_r = _assign.compute_correlations(ctx.Y, ctx.L, clones_r, ctx.clone_names)
+            finite = corr_r[np.isfinite(corr_r)]
+            median_correlations.append(float(np.median(finite)) if finite.size else np.nan)
+        else:
+            median_correlations.append(np.nan)
 
     fit.multirun_info = {
         "elbos": final_elbos,
