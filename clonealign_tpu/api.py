@@ -388,7 +388,6 @@ def clonealign(
         ctx.config,
         clone_call_probability,
         ctx.clone_probs_from_snv,
-        ctx.verbose,
     )
 
 
@@ -401,7 +400,6 @@ def _package_fit(
     config,
     clone_call_probability,
     clone_probs_from_snv,
-    verbose,
 ) -> ClonealignFit:
     """Fetch ML params and build the fit object
     (reference R/inference-tflow.R:424-480, R/clonealign.R:283-303)."""

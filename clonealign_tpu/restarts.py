@@ -170,7 +170,6 @@ def run_clonealign(
         ctx.config,
         clone_call_probability,
         ctx.clone_probs_from_snv,
-        verbose,
     )
 
     # multirun_info (reference R/clonealign.R:67-73). The per-run median
