@@ -1,10 +1,12 @@
 """Multi-restart driver (reference R/clonealign.R:35-75).
 
 The reference runs ``length(initial_shrinks) x n_repeats`` fits *sequentially*
-in one R process and keeps the best-ELBO fit. Here all restarts run as one
-``vmap``'d program — a single XLA computation batching every restart's Adam
-loop — so on TPU the whole sweep costs roughly one fit's wall-clock. Lanes
-that converge early freeze in place (see infer.py) while the rest continue.
+in one R process and keeps the best-ELBO fit. Here the whole sweep is ONE
+compiled program: restarts are either vmapped (small problems — batched Adam
+loops, roughly one fit's wall-clock for the sweep; early-converged lanes
+freeze while the rest continue, see infer.py) or run sequentially on-device
+via lax.map (large problems — bounds memory to a single fit's working set).
+"auto" picks by problem size.
 """
 
 from __future__ import annotations
