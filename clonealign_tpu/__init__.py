@@ -28,12 +28,14 @@ from .cnv import cnv_regions_to_genes
 from .fit import ClonealignFit, ConvergenceInfo
 from .preprocess import preprocess_for_clonealign
 from .restarts import run_clonealign
+from .serve import assign_cells
 
 __version__ = "0.1.0"
 
 __all__ = [
     "clonealign",
     "run_clonealign",
+    "assign_cells",
     "preprocess_for_clonealign",
     "recompute_clone_assignment",
     "clone_assignment",
