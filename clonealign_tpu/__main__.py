@@ -119,6 +119,32 @@ def cmd_fit(args) -> int:
     return 0
 
 
+def cmd_assign(args) -> int:
+    """Serve: assign new cells against a saved fit (no refit)."""
+    import collections
+
+    from .fit import ClonealignFit
+    from .serve import assign_cells
+
+    fit = ClonealignFit.load(args.fit)
+    Y, _genes, cell_names = _load_counts(args.counts, args.transpose)
+    L, _names = _load_cnv(args.cnv)
+    clones, probs = assign_cells(
+        fit, Y, L, clone_call_probability=args.clone_call_probability
+    )
+    np.savez_compressed(
+        args.out,
+        clone=np.asarray(clones, dtype=str),
+        clone_probs=probs,
+        clone_names=np.asarray(fit.clone_names, dtype=str),
+        cell_names=np.asarray(cell_names if cell_names else [], dtype=str),
+    )
+    if not args.quiet:
+        print("clone counts:", dict(collections.Counter(clones)))
+        print(f"saved -> {args.out}")
+    return 0
+
+
 def cmd_show(args) -> int:
     from .fit import ClonealignFit
 
@@ -172,6 +198,16 @@ def main(argv=None) -> int:
     p_fit.add_argument("--seed", type=int, default=0)
     p_fit.add_argument("--quiet", action="store_true")
     p_fit.set_defaults(fn=cmd_fit)
+
+    p_as = sub.add_parser("assign", help="assign NEW cells against a saved fit (no refit)")
+    p_as.add_argument("--fit", required=True, help="fit .npz produced by `fit`")
+    p_as.add_argument("--counts", required=True, help="new cells' counts over the fit's retained genes")
+    p_as.add_argument("--cnv", required=True, help="copy numbers over the fit's retained genes")
+    p_as.add_argument("--out", required=True, help="output assignments .npz")
+    p_as.add_argument("--transpose", action="store_true")
+    p_as.add_argument("--clone-call-probability", type=float, default=0.95)
+    p_as.add_argument("--quiet", action="store_true")
+    p_as.set_defaults(fn=cmd_assign)
 
     p_show = sub.add_parser("show", help="summarize a saved fit")
     p_show.add_argument("fit", help="fit .npz produced by `fit`")
