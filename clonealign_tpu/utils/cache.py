@@ -12,13 +12,22 @@ from __future__ import annotations
 import os
 
 
-def enable_persistent_cache(path: str | None = None) -> str:
-    """Enable JAX's on-disk compilation cache. Returns the cache dir used.
+def enable_persistent_cache(path: str | None = None, tpu_only: bool = True) -> str | None:
+    """Enable JAX's on-disk compilation cache. Returns the cache dir used
+    (None if skipped).
 
     Default location: ``$CLONEALIGN_TPU_CACHE`` or ``~/.cache/clonealign_tpu/xla``.
+
+    ``tpu_only`` (default): skip on CPU backends — XLA:CPU AOT results encode
+    host machine features, and reloading an entry compiled on/for a different
+    CPU can SIGILL (observed: cache entries from a remote-compile service
+    loaded on a host missing +prefer-no-scatter). TPU executables are tied to
+    the chip generation, which doesn't vary under one cache directory.
     """
     import jax
 
+    if tpu_only and jax.default_backend() != "tpu":
+        return None
     if path is None:
         path = os.environ.get(
             "CLONEALIGN_TPU_CACHE",
