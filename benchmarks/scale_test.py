@@ -1,0 +1,80 @@
+"""Single-chip scale headroom: 500k cells x 2k genes x 10 clones,
+10-restart sweep. Prints one JSON line (documented result: ~9.2s on one
+v5e chip = 545k cells-assigned/s, ground-truth accuracy 1.0).
+
+Usage: python benchmarks/scale_test.py [--cells 500000] [--genes 2000]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cells", type=int, default=500_000)
+    ap.add_argument("--genes", type=int, default=2_000)
+    ap.add_argument("--clones", type=int, default=10)
+    ap.add_argument("--restarts", type=int, default=10)
+    ap.add_argument("--max-iter", type=int, default=100)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import make_synthetic
+    from clonealign_tpu.infer import run_inference
+    from clonealign_tpu.models import multinomial as mm
+    from clonealign_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    N, G, C, R = args.cells, args.genes, args.clones, args.restarts
+
+    key = jax.random.PRNGKey(0)
+    Y, L, z = make_synthetic(key, N, G, C, jnp.float32, chunk=25_000)
+    data = mm.prepare_data(Y, L, dtype=jnp.float32, y_storage=jnp.bfloat16)
+    del Y
+    config = mm.ModelConfig(K=1, P=0, mc_samples=1)
+
+    @jax.jit
+    def sweep(keys, data):
+        def one_fit(k):
+            ki, kr = jax.random.split(k)
+            p0 = mm.init_params(data.Y, data.L, ki, K=1, dtype=jnp.float32)
+            r = run_inference(
+                p0, data, kr, config, max_iter=args.max_iter,
+                elbo_eval="reuse", loop_impl="scan", unroll=4, remat=False,
+            )
+            return r.final_elbo, jnp.argmax(r.params.gamma_logits, axis=1)
+        elbos, assign = jax.lax.map(one_fit, keys)
+        best = jnp.argmax(elbos)
+        return elbos, assign[best]
+
+    keys = jax.random.split(jax.random.PRNGKey(1), R)
+    out = sweep(keys, data)
+    jax.block_until_ready(out)  # compile (excluded)
+
+    elapsed = float("inf")
+    for rep in (2, 3):
+        t0 = time.perf_counter()
+        elbos, a = sweep(jax.random.split(jax.random.PRNGKey(rep), R), data)
+        a = np.asarray(a)
+        elapsed = min(elapsed, time.perf_counter() - t0)
+
+    acc = float((a == np.asarray(z)).mean())
+    print(json.dumps({
+        "metric": f"scale test {N}x{G}x{C}, {R} restarts, single chip",
+        "elapsed_s": round(elapsed, 2),
+        "cells_per_sec": round(N * R / elapsed, 1),
+        "accuracy": acc,
+    }))
+
+
+if __name__ == "__main__":
+    main()
