@@ -86,3 +86,33 @@ def test_h5ad_feeds_clonealign(tmp_path, dense):
     L[::2, 0] = 1
     fit = clonealign(cm.counts, L, max_iter=3, seed=0, verbose=False)
     assert len(fit.clone) == dense.shape[0]
+
+
+def test_h5ad_csc_encoding(tmp_path, dense):
+    p = str(tmp_path / "csc.h5ad")
+    with h5py.File(p, "w") as f:
+        m = sp.csc_matrix(dense)
+        g = f.create_group("X")
+        g.attrs["encoding-type"] = "csc_matrix"
+        g.attrs["shape"] = dense.shape
+        g["data"] = m.data
+        g["indices"] = m.indices
+        g["indptr"] = m.indptr
+    cm = read_h5ad(p)
+    np.testing.assert_array_equal(cm.counts, dense)
+
+
+def test_10x_h5_legacy_per_genome_group(tmp_path, dense):
+    p = str(tmp_path / "legacy.h5")
+    gxc = sp.csc_matrix(dense.T)
+    with h5py.File(p, "w") as f:
+        g = f.create_group("GRCh38")
+        g["data"] = gxc.data
+        g["indices"] = gxc.indices
+        g["indptr"] = gxc.indptr
+        g["shape"] = np.array(gxc.shape)
+        g["genes"] = np.array([f"ENSG{j}".encode() for j in range(dense.shape[1])])
+        g["barcodes"] = np.array([f"BC{i}".encode() for i in range(dense.shape[0])])
+    cm = read_10x_h5(p)
+    np.testing.assert_array_equal(cm.counts, dense)
+    assert cm.gene_names[1] == "ENSG1"
