@@ -144,6 +144,10 @@ def setup_fit(
     else:
         retained_genes = list(np.flatnonzero(~low))
 
+    if not np.isfinite(Y).all():
+        raise ValueError("gene_expression_data contains NaN/inf values")
+    if (Y < 0).any():
+        raise ValueError("gene_expression_data must be non-negative raw counts")
     if (Y.sum(axis=1) == 0).any():
         raise ValueError("Some cells have no counts mapping")  # R/inference-tflow.R:212-214
     if K > 0 and N < 2:

@@ -58,3 +58,15 @@ def test_tiny_and_extreme_shapes():
                    rng.integers(1, 4, (15, 2)).astype(float),
                    max_iter=3, seed=0, verbose=False)
     assert np.isfinite(f.convergence_info.final_elbo)
+
+
+def test_invalid_counts_fail_fast():
+    rng = np.random.default_rng(3)
+    L = rng.integers(1, 4, (10, 2)).astype(float)
+    Y = rng.poisson(5, (8, 10)) + 1.0
+    bad_nan = Y.copy(); bad_nan[0, 0] = np.nan
+    with pytest.raises(ValueError, match="NaN"):
+        clonealign(bad_nan, L, max_iter=2, verbose=False)
+    bad_neg = Y.copy(); bad_neg[0, 0] = -3
+    with pytest.raises(ValueError, match="non-negative"):
+        clonealign(bad_neg, L, max_iter=2, verbose=False)
