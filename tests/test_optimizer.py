@@ -3,6 +3,7 @@
 and MC-sample variance sanity."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -67,3 +68,38 @@ def test_mc_samples_reduce_final_elbo_sd():
         sds[S] = fit.convergence_info.sd_final_elbo
     # more MC samples -> lower-variance ELBO estimate (allow generous margin)
     assert sds[10] < sds[1]
+
+
+def test_tf1_adam_matches_real_tensorflow():
+    """Against the actual tf.compat.v1.train.AdamOptimizer (the very class
+    the reference uses, R/inference-tflow.R:345), when TF is available."""
+    tf = pytest.importorskip("tensorflow")
+    tf1 = tf.compat.v1
+    tf1.disable_eager_execution()
+
+    rng = np.random.default_rng(0)
+    grads = rng.normal(0, 1, 25).astype(np.float32)
+
+    graph = tf1.Graph()
+    with graph.as_default():
+        g_ph = tf1.placeholder(tf.float32, shape=())
+        var = tf1.Variable(0.0, dtype=tf.float32)
+        train = tf1.train.AdamOptimizer(learning_rate=0.1).apply_gradients([(g_ph, var)])
+        init = tf1.global_variables_initializer()
+    traj_tf = []
+    with tf1.Session(graph=graph) as sess:
+        sess.run(init)
+        for g in grads:
+            sess.run(train, feed_dict={g_ph: g})
+            traj_tf.append(float(sess.run(var)))
+
+    opt = tf1_adam(0.1)
+    p = jnp.zeros((), jnp.float32)
+    state = opt.init(p)
+    traj = []
+    for g in grads:
+        updates, state = opt.update(jnp.asarray(g), state)
+        p = optax.apply_updates(p, updates)
+        traj.append(float(p))
+
+    np.testing.assert_allclose(traj, traj_tf, atol=5e-6)
