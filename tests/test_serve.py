@@ -43,3 +43,14 @@ def test_shape_validation(split_fit):
         assign_cells(fit, np.ones((5, 3)), np.ones((3, 3)))
     with pytest.raises(ValueError, match="required"):
         assign_cells(fit, np.ones((5, len(fit.ml_params["mu"]))))
+
+
+def test_heldout_accuracy_with_latent_factor_fit():
+    """Serving sets rfe=1 for unseen cells; with a K=1 fit on data generated
+    WITH a latent factor the approximation still assigns correctly (the
+    clone signal dominates the per-cell factor)."""
+    sim = simulate_multinomial(N=200, G=80, C=3, K=1, seed=13, mean_total=1200)
+    fit = clonealign(sim.Y[:140], sim.L, K=1, max_iter=100, seed=0, verbose=False)
+    clones, _ = assign_cells(fit, sim.Y[140:], sim.L)
+    acc = assignment_accuracy(clones, fit.clone_names, sim.clone_idx[140:])
+    assert acc > 0.9
