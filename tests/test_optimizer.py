@@ -75,7 +75,8 @@ def test_tf1_adam_matches_real_tensorflow():
     the reference uses, R/inference-tflow.R:345), when TF is available."""
     tf = pytest.importorskip("tensorflow")
     tf1 = tf.compat.v1
-    tf1.disable_eager_execution()
+    # build an explicit graph instead of disabling eager execution globally
+    # (which would leak graph mode into other TF-using tests)
 
     rng = np.random.default_rng(0)
     grads = rng.normal(0, 1, 25).astype(np.float32)
