@@ -99,8 +99,8 @@ class ModelConfig(NamedTuple):
     P: int = 0
     mc_samples: int = 1
     fix_alpha: bool = False
-    # Likelihood backend: "auto" picks the Pallas fused kernel on TPU/f32
-    # (one pass over Y, no N x G intermediate), the XLA einsum path otherwise.
+    # Likelihood backend: "auto" -> the XLA decomposed path (measured fastest,
+    # see _use_fused); "fused" -> the Pallas kernel; "xla" -> force XLA.
     likelihood_impl: str = "auto"
 
 
