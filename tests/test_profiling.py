@@ -31,4 +31,10 @@ def test_persistent_cache_skips_cpu(tmp_path):
     # suite runs on CPU (conftest) -> gate must skip
     assert jax.default_backend() == "cpu"
     assert enable_persistent_cache(str(tmp_path / "cache")) is None
-    assert enable_persistent_cache(str(tmp_path / "cache2"), tpu_only=False) is not None
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        assert enable_persistent_cache(str(tmp_path / "cache2"), tpu_only=False) is not None
+    finally:
+        # restore: the cache dir is global config; later tests in this
+        # process must not write compiles into a soon-deleted tmp dir
+        jax.config.update("jax_compilation_cache_dir", before)
