@@ -155,8 +155,8 @@ def sharded_fit(
         config=config,
         data_init_mu=data_init_mu if isinstance(data_init_mu, bool) else "array",
         jdtype_name=str(jnp.dtype(dtype)),
-        max_iter=int(infer_kwargs.pop("max_iter", 100)),
-        rel_tol=float(infer_kwargs.pop("rel_tol", 1e-5)),
+        max_iter=int(infer_kwargs.pop("max_iter", 200)),
+        rel_tol=float(infer_kwargs.pop("rel_tol", 1e-6)),
         learning_rate=float(infer_kwargs.pop("learning_rate", 0.1)),
         elbo_eval=infer_kwargs.pop("elbo_eval", "fresh"),
         restart_batching="vmap",
