@@ -40,11 +40,16 @@ def tf1_adam(learning_rate: float, b1: float = 0.9, b2: float = 0.999, eps: floa
         count = state.count + 1
         mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
         nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, grads)
-        t = count.astype(jnp.float32)
-        lr_t = learning_rate * jnp.sqrt(1 - b2**t) / (1 - b1**t)
-        updates = jax.tree.map(
-            lambda m, v: (-lr_t * m / (jnp.sqrt(v) + eps)).astype(m.dtype), mu, nu
-        )
+
+        def scaled(m, v):
+            # TF1 computes the bias-correction scalars in the variable's dtype
+            # (cast of beta-power accumulators) — follow it so float64 fits
+            # track the reference beyond f32 precision.
+            t = count.astype(jnp.promote_types(m.dtype, jnp.float32))
+            lr_t = learning_rate * jnp.sqrt(1 - b2**t) / (1 - b1**t)
+            return (-lr_t * m / (jnp.sqrt(v) + eps)).astype(m.dtype)
+
+        updates = jax.tree.map(scaled, mu, nu)
         return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
 
     return optax.GradientTransformation(init, update)
