@@ -1,10 +1,11 @@
 """Headline benchmark: large-scale clone assignment throughput.
 
-Config (BASELINE.json config 5, single-chip share): 100k cells x 5k genes x
-10 clones, 10 restarts, full VI fit each. Baseline target is the driver-set
-"100k x 5k x 10 with 10 restarts < 60 s on v5e-8", i.e. 100k*10/60 ~= 16.7k
-cells-assigned/sec on 8 chips -> 2083/sec per-chip share. vs_baseline is
-measured throughput over that per-chip share.
+Config (BASELINE.json config 5): 100k cells x 5k genes x 10 clones, 10
+restarts, full VI fit each. Baseline target is the driver-set "100k x 5k x
+10 with 10 restarts < 60 s on v5e-8", i.e. 100k*10/60 ~= 16.7k
+cells-assigned/sec on 8 chips; vs_baseline pro-rates that to the number of
+devices present (2083/sec per-chip share on the 1-chip bench host). With
+more than one device the sweep runs mesh-sharded over all of them.
 
 Prints ONE JSON line. Smaller smoke config via BENCH_SMOKE=1.
 """
@@ -47,6 +48,40 @@ def make_synthetic(key, N, G, C, dtype, chunk=10_000):
     return Y, L, z
 
 
+def build_sweep(config, dtype, max_iter):
+    """The benchmark's restart sweep as ONE jitted on-device program:
+    lax.map over restarts (sequential, bounding memory to a single fit's
+    working set), scan-based iteration (unroll=4), gradients without remat
+    (one restart fits HBM comfortably), convergence monitored from the
+    training-step ELBO. Only the winning assignment leaves the device.
+
+    When ``data`` is mesh-sharded (cells x genes NamedShardings from
+    parallel/sharding.py), GSPMD propagates the shardings through the whole
+    program — the same sweep scales across a TPU slice unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    from clonealign_tpu.infer import run_inference
+    from clonealign_tpu.models import multinomial as mm
+
+    @jax.jit
+    def sweep(keys, data):
+        def one_fit(k):
+            k_init, k_run = jax.random.split(k)
+            params0 = mm.init_params(data.Y, data.L, k_init, K=1, dtype=dtype)
+            res = run_inference(
+                params0, data, k_run, config,
+                max_iter=max_iter, rel_tol=1e-6, learning_rate=0.1,
+                elbo_eval="reuse", loop_impl="scan", unroll=4, remat=False,
+            )
+            return res.final_elbo, res.params.gamma_logits
+        elbos, gammas = jax.lax.map(one_fit, keys)
+        best = jnp.argmax(elbos)
+        return elbos, jnp.argmax(gammas[best], axis=1)
+
+    return sweep
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -55,7 +90,6 @@ def main():
 
     enable_persistent_cache()
 
-    from clonealign_tpu.infer import run_inference
     from clonealign_tpu.models import multinomial as mm
 
     smoke = os.environ.get("BENCH_SMOKE") == "1"
@@ -73,26 +107,18 @@ def main():
     data = mm.prepare_data(Y, L, dtype=dtype, y_storage=jnp.bfloat16)
     config = mm.ModelConfig(K=1, P=0, mc_samples=1)
 
-    # The entire restart sweep runs on-device as ONE program: lax.map over
-    # restarts (sequential, bounding memory to a single fit's working set),
-    # scan-based iteration (unroll=4), gradients without remat (one restart
-    # fits HBM comfortably), convergence monitored from the training-step
-    # ELBO. Only the winning assignment leaves the device.
-    @jax.jit
-    def sweep(keys, data):
-        def one_fit(k):
-            k_init, k_run = jax.random.split(k)
-            params0 = mm.init_params(data.Y, data.L, k_init, K=1, dtype=dtype)
-            res = run_inference(
-                params0, data, k_run, config,
-                max_iter=max_iter, rel_tol=1e-6, learning_rate=0.1,
-                elbo_eval="reuse", loop_impl="scan", unroll=4, remat=False,
-            )
-            return res.final_elbo, res.params.gamma_logits
-        elbos, gammas = jax.lax.map(one_fit, keys)
-        best = jnp.argmax(elbos)
-        return elbos, jnp.argmax(gammas[best], axis=1)
+    # On a multi-chip host the sweep runs mesh-sharded: all devices on the
+    # cells axis (data parallel — cells are the unbounded dimension), ELBO /
+    # gradient reductions ride ICI as psums. Single chip keeps the plain path.
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        from clonealign_tpu.parallel.sharding import make_mesh, shard_data
 
+        mesh = make_mesh()
+        data = shard_data(data, mesh)
+
+    sweep = build_sweep(config, dtype, max_iter)
     keys = jax.random.split(k_fit, R)
 
     # compile (excluded from timing)
@@ -111,14 +137,17 @@ def main():
         elapsed = min(elapsed, time.perf_counter() - t0)
 
     cells_per_sec = N * R / elapsed
-    per_chip_baseline = 100_000 * 10 / 60.0 / 8.0  # v5e-8 target share per chip
+    # v5e-8 target pro-rated to the chips actually used (the driver's host
+    # has one chip; on a real slice the mesh path uses them all)
+    baseline = 100_000 * 10 / 60.0 * (n_dev / 8.0)
+    hw = f"{n_dev}-device mesh {dict(mesh.shape)}" if mesh else "single chip"
     out = {
-        "metric": "cells_assigned_per_sec (100k x 5k x 10, 10 restarts, single chip)"
+        "metric": f"cells_assigned_per_sec (100k x 5k x 10, 10 restarts, {hw})"
         if not smoke
-        else "cells_assigned_per_sec (smoke)",
+        else f"cells_assigned_per_sec (smoke, {hw})",
         "value": round(cells_per_sec, 1),
         "unit": "cells/s",
-        "vs_baseline": round(cells_per_sec / per_chip_baseline, 2),
+        "vs_baseline": round(cells_per_sec / baseline, 2),
         "elapsed_s": round(elapsed, 2),
         "vi_steps_per_sec": round(max_iter * R / elapsed, 1),
         "config": {"N": N, "G": G, "C": C, "restarts": R, "max_iter": max_iter},

@@ -14,6 +14,8 @@ from clonealign_tpu.models.allele import (
     snv_clone_probs,
 )
 
+pytestmark = pytest.mark.slow
+
 
 def naive_beta_binomial_pmf(k, n, a, b):
     from math import comb, lgamma

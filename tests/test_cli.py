@@ -8,6 +8,8 @@ import pytest
 from clonealign_tpu.__main__ import main
 from clonealign_tpu.synth import assignment_accuracy, simulate_multinomial
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def cli_files(tmp_path_factory):

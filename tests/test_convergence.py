@@ -7,6 +7,10 @@ import numpy as np
 from clonealign_tpu import clonealign
 from clonealign_tpu.synth import simulate_multinomial
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_early_exit_on_loose_tolerance():
     sim = simulate_multinomial(N=60, G=40, C=2, seed=2, mean_total=400)

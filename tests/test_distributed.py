@@ -10,6 +10,10 @@ from clonealign_tpu.parallel import distributed as dist
 from clonealign_tpu.parallel.sharding import make_mesh
 from clonealign_tpu.synth import simulate_multinomial
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_initialize_single_host_noop():
     assert dist.initialize() is False

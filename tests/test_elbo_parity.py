@@ -81,6 +81,7 @@ def test_elbo_matches_oracle(K, P, S, fix_alpha):
     np.testing.assert_allclose(ours, ref, rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_elbo_finite_on_example_data():
     sce = load_example_sce()
     keep = sce.counts.sum(axis=0) > 0  # gene filter, threshold 0

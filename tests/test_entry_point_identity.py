@@ -12,6 +12,10 @@ from clonealign_tpu import clonealign, run_clonealign
 from clonealign_tpu.io.datasets import load_example_sce
 from clonealign_tpu.parallel.sharding import make_mesh, sharded_fit
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_three_entry_points_identical_with_same_key():
     sce = load_example_sce()

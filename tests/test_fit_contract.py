@@ -8,6 +8,8 @@ import pytest
 from clonealign_tpu import clonealign, recompute_clone_assignment, run_clonealign
 from clonealign_tpu.io.datasets import load_example_sce
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def sce():

@@ -10,6 +10,8 @@ from clonealign_tpu.fit import ClonealignFit
 from clonealign_tpu.io.datasets import load_example_clonealign_fit
 from clonealign_tpu.synth import simulate_multinomial
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def fit():

@@ -11,6 +11,8 @@ from clonealign_tpu.ops.fused_likelihood import (
     reference_likelihood_terms,
 )
 
+pytestmark = pytest.mark.slow
+
 
 def _inputs(N=70, G=90, C=4, K=2, S=2, seed=0):
     rng = np.random.default_rng(seed)

@@ -11,6 +11,8 @@ import pytest
 from clonealign_tpu import clonealign
 from clonealign_tpu.io.datasets import load_example_sce
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def golden_fit():

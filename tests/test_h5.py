@@ -9,6 +9,8 @@ sp = pytest.importorskip("scipy.sparse")
 
 from clonealign_tpu.io.h5 import read_10x_h5, read_h5ad
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def dense():

@@ -12,6 +12,10 @@ from clonealign_tpu.infer import run_inference
 from clonealign_tpu.models import multinomial as mm
 from clonealign_tpu.synth import simulate_multinomial
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_vmapped_lanes_identical_to_separate_runs():
     sim = simulate_multinomial(N=50, G=40, C=2, seed=0, mean_total=400)

@@ -7,6 +7,8 @@ import pytest
 from clonealign_tpu import clonealign, run_clonealign, saturate
 from clonealign_tpu.synth import assignment_accuracy, simulate_multinomial
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def sim():

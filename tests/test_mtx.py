@@ -10,6 +10,8 @@ import pytest
 from clonealign_tpu.io import mtx as mtx_mod
 from clonealign_tpu.io.mtx import load_cellranger_dir, read_mtx, read_mtx_info
 
+pytestmark = pytest.mark.slow
+
 
 def _write_mtx(path, dense, gz=False, pattern=False):
     rows, cols = dense.shape

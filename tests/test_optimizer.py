@@ -57,6 +57,7 @@ def test_tf1_adam_differs_from_optax_adam_early():
     assert not np.isclose(ours, theirs, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_mc_samples_reduce_final_elbo_sd():
     from clonealign_tpu import clonealign
     from clonealign_tpu.synth import simulate_multinomial
@@ -70,6 +71,7 @@ def test_mc_samples_reduce_final_elbo_sd():
     assert sds[10] < sds[1]
 
 
+@pytest.mark.slow
 def test_tf1_adam_matches_real_tensorflow():
     """Against the actual tf.compat.v1.train.AdamOptimizer (the very class
     the reference uses, R/inference-tflow.R:345), when TF is available."""

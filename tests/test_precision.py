@@ -8,6 +8,10 @@ from clonealign_tpu import clonealign
 from clonealign_tpu.models import multinomial as mm
 from clonealign_tpu.synth import simulate_multinomial
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_bf16_storage_assignment_agreement():
     sim = simulate_multinomial(N=80, G=60, C=3, seed=11, mean_total=800)

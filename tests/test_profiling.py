@@ -8,6 +8,10 @@ import jax.numpy as jnp
 from clonealign_tpu.utils.cache import enable_persistent_cache
 from clonealign_tpu.utils.profiling import timed, trace
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_timed_reports(capsys):
     with timed("probe"):

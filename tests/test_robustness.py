@@ -11,6 +11,8 @@ import pytest
 
 from clonealign_tpu import clonealign
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def zero_cn_case():

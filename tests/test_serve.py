@@ -8,6 +8,8 @@ from clonealign_tpu import clonealign
 from clonealign_tpu.serve import assign_cells
 from clonealign_tpu.synth import assignment_accuracy, simulate_multinomial
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def split_fit():

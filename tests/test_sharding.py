@@ -16,6 +16,8 @@ from clonealign_tpu.parallel.sharding import (
 )
 from clonealign_tpu.synth import simulate_multinomial
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def sim():

@@ -5,11 +5,15 @@ inst/create_model3_synthetic.R:3-29)."""
 import numpy as np
 
 from clonealign_tpu import clonealign
+import pytest
+
 from clonealign_tpu.synth import (
     assignment_accuracy,
     simulate_model3,
     simulate_multinomial,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def test_model3_generator_spec():

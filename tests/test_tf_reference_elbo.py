@@ -22,6 +22,8 @@ import jax.numpy as jnp
 
 from clonealign_tpu.models import multinomial as mm
 
+pytestmark = pytest.mark.slow
+
 
 def tf_reference_elbo(Y, L, mu_base, qmu_loc, qmu_log_scale, gamma_logits,
                       alpha_unconstr, psi, W, chi_unconstr):

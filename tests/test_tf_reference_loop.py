@@ -34,6 +34,8 @@ from clonealign_tpu.infer import run_inference
 from clonealign_tpu.io.datasets import load_example_sce
 from clonealign_tpu.models import multinomial as mm
 
+pytestmark = pytest.mark.slow
+
 tf1 = tf.compat.v1
 
 
