@@ -49,8 +49,8 @@ __all__ = [
 ]
 
 try:  # matplotlib is optional
-    from .plot import plot_clonealign  # noqa: F401
+    from .plot import plot_clonealign, plot_clonealign_adata  # noqa: F401
 
-    __all__.append("plot_clonealign")
+    __all__ += ["plot_clonealign", "plot_clonealign_adata"]
 except ImportError:  # pragma: no cover
     pass

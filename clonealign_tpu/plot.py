@@ -64,6 +64,80 @@ def segment_states(cnv: np.ndarray) -> np.ndarray:
     return np.concatenate([[1], 1 + np.cumsum(changed)])
 
 
+def plot_clonealign_adata(
+    adata,
+    clones: Sequence,
+    cnv_data=None,
+    chromosome: str = "1",
+    chr_str: str = "chr",
+    start_str: str = "start_position",
+    end_str: str = "end_position",
+    layer: Optional[str] = "logcounts",
+    cnv_cols: Optional[Sequence[str]] = None,
+    **kwargs,
+):
+    """AnnData-native entry matching the reference's SCE ergonomics
+    (reference R/plotting.R:70-112): gene coordinates are read from named
+    ``adata.var`` columns instead of pre-extracted arrays.
+
+    Args:
+      adata: AnnData (or duck-type) with cells x genes ``.X``, pandas-like
+        ``.var``, and optionally ``.layers``.
+      clones: length-N clone assignment per cell (e.g. ``fit.clone``).
+      cnv_data: (G, C) copy numbers (matrix/DataFrame). Alternatively pass
+        ``cnv_cols`` naming per-clone columns of ``adata.var`` (the reference
+        example's ``rowData(example_sce)[, c("A","B","C")]``).
+      chr_str/start_str/end_str: names of the ``adata.var`` columns holding
+        each gene's chromosome and start/end positions.
+      layer: which ``adata.layers`` entry holds normalized log expression
+        (the reference requires ``logcounts(sce)``). Falls back to ``.X``
+        when the layer is absent or ``layer=None``.
+
+    Extra kwargs are forwarded to :func:`plot_clonealign`.
+    """
+    var = adata.var
+    for value, argname in (
+        (chr_str, "chr_str"),
+        (start_str, "start_str"),
+        (end_str, "end_str"),
+    ):
+        if value not in var.columns:
+            # reference R/plotting.R:93-104 error wording
+            raise ValueError(
+                f"The column '{argname}' (currently set to '{value}') must be "
+                f"in adata.var and refer to the gene coordinates"
+            )
+    if cnv_data is None:
+        if cnv_cols is None:
+            raise ValueError("pass cnv_data or cnv_cols (adata.var column names)")
+        missing = [c for c in cnv_cols if c not in var.columns]
+        if missing:
+            raise ValueError(f"cnv_cols not in adata.var: {missing}")
+        cnv_data = var[list(cnv_cols)]
+
+    X = None
+    if layer is not None and hasattr(adata, "layers"):
+        try:
+            X = adata.layers[layer]
+        except (KeyError, TypeError):
+            X = None
+    if X is None:
+        X = adata.X
+    if hasattr(X, "todense"):
+        X = np.asarray(X.todense())
+
+    return plot_clonealign(
+        X,
+        clones,
+        cnv_data,
+        np.asarray(var[chr_str]),
+        np.asarray(var[start_str], np.float64),
+        np.asarray(var[end_str], np.float64),
+        chromosome=chromosome,
+        **kwargs,
+    )
+
+
 def plot_clonealign(
     logcounts,
     clones: Sequence,

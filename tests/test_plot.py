@@ -51,3 +51,38 @@ def test_plot_wrong_chromosome_raises():
             gene_end=[1, 2, 3],
             chromosome="7",
         )
+
+
+def test_plot_adata_wrapper():
+    pd = pytest.importorskip("pandas")
+    from clonealign_tpu.plot import plot_clonealign_adata
+
+    rng = np.random.default_rng(1)
+    N, G = 30, 20
+
+    class FakeAnnData:
+        pass
+
+    adata = FakeAnnData()
+    adata.X = rng.poisson(3, (N, G)).astype(float)
+    adata.layers = {"logcounts": np.log1p(adata.X)}
+    adata.var = pd.DataFrame(
+        {
+            "chr": ["1"] * G,
+            "start_position": np.arange(G, dtype=float),
+            "end_position": np.arange(G, dtype=float) + 1,
+            "A": rng.integers(1, 4, G).astype(float),
+            "B": rng.integers(1, 4, G).astype(float),
+        }
+    )
+    clones = rng.choice(["A", "B", "unassigned"], N).tolist()
+
+    fig = plot_clonealign_adata(adata, clones, cnv_cols=["A", "B"])
+    assert len(fig.axes) == 2
+    matplotlib.pyplot.close(fig)
+
+    # reference-style error for a missing coordinate column
+    with pytest.raises(ValueError, match="chr_str"):
+        plot_clonealign_adata(adata, clones, cnv_cols=["A", "B"], chr_str="nope")
+    with pytest.raises(ValueError, match="cnv_cols"):
+        plot_clonealign_adata(adata, clones, cnv_cols=["A", "Z"])
