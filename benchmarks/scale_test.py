@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--clones", type=int, default=10)
     ap.add_argument("--restarts", type=int, default=10)
     ap.add_argument("--max-iter", type=int, default=100)
+    ap.add_argument("--sparse", action="store_true",
+                    help="ingest counts as scipy CSR (no host densification)")
     args = ap.parse_args()
 
     import jax
@@ -38,8 +40,22 @@ def main():
 
     key = jax.random.PRNGKey(0)
     Y, L, z = make_synthetic(key, N, G, C, jnp.float32, chunk=25_000)
-    data = mm.prepare_data(Y, L, dtype=jnp.float32, y_storage=jnp.bfloat16)
-    del Y
+    ingest = "dense"
+    if args.sparse:
+        # sparse ingestion path: Y leaves the device as scipy CSR and comes
+        # back through prepare_data_sparse — host peak is O(nnz), never
+        # N x G x 8 bytes (e.g. 500k x 2k float64 would be 8 GB dense)
+        import scipy.sparse as sp
+
+        Y_sp = sp.csr_matrix(np.asarray(Y))
+        del Y
+        host_mb = (Y_sp.data.nbytes + Y_sp.indices.nbytes + Y_sp.indptr.nbytes) / 1e6
+        ingest = f"sparse csr ({host_mb:.0f} MB host, density {Y_sp.nnz / (N * G):.3f})"
+        data = mm.prepare_data(Y_sp, L, dtype=jnp.float32, y_storage=jnp.bfloat16)
+        del Y_sp
+    else:
+        data = mm.prepare_data(Y, L, dtype=jnp.float32, y_storage=jnp.bfloat16)
+        del Y
     config = mm.ModelConfig(K=1, P=0, mc_samples=1)
 
     @jax.jit
@@ -69,7 +85,7 @@ def main():
 
     acc = float((a == np.asarray(z)).mean())
     print(json.dumps({
-        "metric": f"scale test {N}x{G}x{C}, {R} restarts, single chip",
+        "metric": f"scale test {N}x{G}x{C}, {R} restarts, single chip, {ingest}",
         "elapsed_s": round(elapsed, 2),
         "cells_per_sec": round(N * R / elapsed, 1),
         "accuracy": acc,

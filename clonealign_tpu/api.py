@@ -35,10 +35,23 @@ def saturate(x, threshold=4):
     return np.minimum(np.asarray(x, np.float64), float(threshold))
 
 
+def _is_scipy_sparse(x) -> bool:
+    try:
+        import scipy.sparse as sp
+
+        return sp.issparse(x)
+    except ImportError:  # pragma: no cover
+        return False
+
+
 def _parse_expression(gene_expression_data):
     """Accept a cell-by-gene array, an ExampleSCE-style object with
     ``.counts``/names, or an AnnData-style object with ``.X``
-    (reference R/clonealign.R:212-224 accepts SCE or matrix)."""
+    (reference R/clonealign.R:212-224 accepts SCE or matrix).
+
+    scipy sparse matrices (direct or as AnnData ``.X``) are kept sparse —
+    statistics and the device upload are computed from the sparse structure
+    without a host-side N x G float64 densification."""
     gene_names = cell_names = None
     obj = gene_expression_data
     if hasattr(obj, "counts"):
@@ -47,18 +60,22 @@ def _parse_expression(gene_expression_data):
         cell_names = list(getattr(obj, "cell_names", None) or [])
     elif hasattr(obj, "X"):  # AnnData duck-type
         X = obj.X
-        Y = np.asarray(X.todense() if hasattr(X, "todense") else X)
+        Y = X.tocsr() if _is_scipy_sparse(X) else np.asarray(X)
         if hasattr(obj, "var_names"):
             gene_names = [str(g) for g in obj.var_names]
         if hasattr(obj, "obs_names"):
             cell_names = [str(c) for c in obj.obs_names]
-    elif hasattr(obj, "todense"):  # scipy-sparse / COOMatrix duck-type
+    elif _is_scipy_sparse(obj):
+        Y = obj.tocsr()
+    elif hasattr(obj, "todense"):  # other COOMatrix-style duck-types
         Y = np.asarray(obj.todense())
     else:
         Y = np.asarray(obj)
     if Y.ndim != 2:
         raise ValueError("gene_expression_data must be a 2-D cell-by-gene matrix")
-    return Y.astype(np.float64), gene_names or None, cell_names or None
+    if not _is_scipy_sparse(Y):
+        Y = Y.astype(np.float64)
+    return Y, gene_names or None, cell_names or None
 
 
 def _parse_copy_number(copy_number_data, G):
@@ -133,8 +150,10 @@ def setup_fit(
 
     jdtype = {"float32": jnp.float32, "float64": jnp.float64}[dtype]
 
+    sparse_input = _is_scipy_sparse(Y)
+
     # --- gene filtering (reference R/inference-tflow.R:117-131) ---
-    low = Y.sum(axis=0) <= gene_filter_threshold
+    low = np.asarray(Y.sum(axis=0)).ravel() <= gene_filter_threshold
     if verbose and low.any():
         print(f"Removing {int(low.sum())} genes with low counts")
     Y = Y[:, ~low]
@@ -144,11 +163,12 @@ def setup_fit(
     else:
         retained_genes = list(np.flatnonzero(~low))
 
-    if not np.isfinite(Y).all():
+    y_values = Y.data if sparse_input else Y
+    if not np.isfinite(y_values).all():
         raise ValueError("gene_expression_data contains NaN/inf values")
-    if (Y < 0).any():
+    if (y_values < 0).any():
         raise ValueError("gene_expression_data must be non-negative raw counts")
-    if (Y.sum(axis=1) == 0).any():
+    if (np.asarray(Y.sum(axis=1)).ravel() == 0).any():
         raise ValueError("Some cells have no counts mapping")  # R/inference-tflow.R:212-214
     if K > 0 and N < 2:
         raise ValueError(
@@ -411,7 +431,7 @@ def _package_fit(
     ml_params = {
         "mu": np.asarray(jax.nn.softplus(p.qmu_loc)),
         "clone_probs": np.asarray(jax.nn.softmax(p.gamma_logits, axis=1)),
-        "s": np.asarray(Y.sum(axis=1)),
+        "s": np.asarray(Y.sum(axis=1)).ravel(),  # ravel: scipy sparse sums are (N, 1)
         "alpha": np.asarray(jax.nn.softmax(p.alpha_unconstr)),
     }
     if config.K > 0:

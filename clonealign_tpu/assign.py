@@ -34,6 +34,8 @@ def compute_ca_fit_mse(fit, Y, L, model_mu: bool = False, random_clones: bool = 
     (reference R/clonealign.R:415-434; unexported and uncalled there, kept
     for parity). ``random_clones`` replaces assignments with uniform draws
     from the distinct assigned clones as a baseline."""
+    if _is_scipy_sparse(Y):
+        Y = Y.toarray()
     Y = np.asarray(Y, np.float64)
     L = np.asarray(L, np.float64)
     clones = list(fit.clone)
@@ -54,33 +56,65 @@ def compute_ca_fit_mse(fit, Y, L, model_mu: bool = False, random_clones: bool = 
     return float(np.mean((predicted - Y) ** 2))
 
 
+def _is_scipy_sparse(x) -> bool:
+    try:
+        import scipy.sparse as sp
+
+        return sp.issparse(x)
+    except ImportError:  # pragma: no cover
+        return False
+
+
 def compute_correlations(Y, L, clones, clone_names):
-    """Per-gene Pearson correlation between z-scored expression and the copy
-    number of each cell's assigned clone (reference R/clonealign.R:318-334).
-    Unassigned cells are dropped; genes with zero variance in either series
-    give NaN (matching R's ``cor`` returning NA)."""
-    Y = np.asarray(Y, np.float64)
+    """Per-gene Pearson correlation between expression and the copy number of
+    each cell's assigned clone (reference R/clonealign.R:318-334 — which
+    z-scores expression first; Pearson is affine-invariant, so correlating
+    raw counts is identical, including the NaN for zero-variance genes,
+    matching R's ``cor`` returning NA). Unassigned cells are dropped.
+
+    Because each cell's CN series is just its clone's column of L, all sums
+    aggregate by clone: the computation is O(C x G) plus one pass over Y —
+    and Y may be a scipy sparse matrix (no densification)."""
     L = np.asarray(L, np.float64)
     clones = np.asarray([str(c) for c in clones], dtype=object)
     keep = clones != UNASSIGNED
-    Y = Y[keep]
+    Y = Y[keep] if _is_scipy_sparse(Y) else np.asarray(Y, np.float64)[keep]
     clones = clones[keep]
-    G = Y.shape[1]
-    if Y.shape[0] < 2:
+    M, G = Y.shape
+    if M < 2:
         return np.full(G, np.nan)
-
-    # z-score expression per gene (R scale(): center, sd with ddof=1)
-    sd = Y.std(axis=0, ddof=1)
-    Yz = (Y - Y.mean(axis=0)) / np.where(sd == 0, 1.0, sd)
 
     col_idx = {str(c): i for i, c in enumerate(clone_names)}
     idx = np.asarray([col_idx[c] for c in clones])
-    x = L[:, idx].T  # (n_assigned_cells, G): CN of each cell's clone per gene
+    C = len(clone_names)
+    m = np.bincount(idx, minlength=C).astype(np.float64)  # cells per clone
 
-    xc = x - x.mean(axis=0)
-    yc = Yz - Yz.mean(axis=0)
-    num = (xc * yc).sum(axis=0)
-    den = np.sqrt((xc * xc).sum(axis=0) * (yc * yc).sum(axis=0))
+    # per-gene sums of y and y^2, and per-(clone, gene) sums of y
+    if _is_scipy_sparse(Y):
+        Y = Y.tocsr().astype(np.float64)
+        sum_y = np.asarray(Y.sum(axis=0)).ravel()
+        sum_y2 = np.asarray(Y.multiply(Y).sum(axis=0)).ravel()
+        import scipy.sparse as sp
+
+        ind = sp.csr_matrix(
+            (np.ones(M), (idx, np.arange(M))), shape=(C, M)
+        )
+        S = np.asarray((ind @ Y).todense() if sp.issparse(ind @ Y) else ind @ Y)
+    else:
+        sum_y = Y.sum(axis=0)
+        sum_y2 = (Y * Y).sum(axis=0)
+        S = np.zeros((C, G))
+        np.add.at(S, idx, Y)
+
+    # x_ng = L[g, clone(n)]: sums aggregate over clones
+    sum_x = L @ m  # (G,)
+    sum_x2 = (L * L) @ m
+    cross = np.einsum("cg,gc->g", S, L)
+
+    num = cross - sum_x * sum_y / M
+    var_x = sum_x2 - sum_x * sum_x / M
+    var_y = sum_y2 - sum_y * sum_y / M
+    den = np.sqrt(np.maximum(var_x, 0) * np.maximum(var_y, 0))
     with np.errstate(divide="ignore", invalid="ignore"):
         out = num / den
     out[den == 0] = np.nan
