@@ -69,34 +69,49 @@ def cnv_regions_to_genes(
 
     G = len(gene_ids)
     hits_cn = np.full((G, C), np.nan)
-    hit_counts = np.zeros(G, np.int64)
+    hit_counts = np.zeros((G, C), np.int64)
 
-    # per-chromosome sweep: segments sorted by start, binary search per gene
+    # Vectorized interval join, per (chromosome, clone) — no per-gene Python
+    # loop, so genome scale (60k genes x thousands of segments) stays fast:
+    #
+    # * overlap count is exact for ANY segment set via two binary searches:
+    #   #(start <= gene_end) - #(end < gene_start). (Every segment with
+    #   end < gene_start also has start <= end < gene_start <= gene_end, so
+    #   the subtraction never goes negative.)
+    # * when the count is 1, the overlapping segment is the first one, in
+    #   start order, whose running-max end reaches gene_start: any earlier
+    #   segment with end >= gene_start would also have start <= the hit's
+    #   start <= gene_end and overlap too, contradicting count == 1. The
+    #   running max is nondecreasing, so that index is a searchsorted.
     for chrom in np.unique(gene_chr):
-        seg_m = cnv_chr == chrom
-        if not seg_m.any():
+        g_idx = np.flatnonzero(gene_chr == chrom)
+        gs_arr = gene_start[g_idx]
+        ge_arr = gene_end[g_idx]
+        chrom_m = cnv_chr == chrom
+        if not chrom_m.any():
             continue
-        seg_start = cnv_start[seg_m]
-        seg_end = cnv_end[seg_m]
-        seg_cn = cnv_cn[seg_m]
-        seg_clone = cnv_clone[seg_m]
-        order = np.argsort(seg_start, kind="stable")
-        seg_start, seg_end, seg_cn, seg_clone = (
-            seg_start[order], seg_end[order], seg_cn[order], seg_clone[order]
-        )
+        for cname, ci in clone_idx.items():
+            m = chrom_m & (cnv_clone == cname)
+            if not m.any():
+                continue
+            order = np.argsort(cnv_start[m], kind="stable")
+            starts_s = cnv_start[m][order]
+            ends_s = cnv_end[m][order]
+            cn_s = cnv_cn[m][order]
 
-        gmask = np.flatnonzero(gene_chr == chrom)
-        for gi in gmask:
-            gs, ge = gene_start[gi], gene_end[gi]
-            # overlap: seg_start <= ge and seg_end >= gs
-            hi = np.searchsorted(seg_start, ge, side="right")
-            overlapping = np.flatnonzero(seg_end[:hi] >= gs)
-            hit_counts[gi] += len(overlapping)
-            for si in overlapping:
-                hits_cn[gi, clone_idx[seg_clone[si]]] = seg_cn[si]
+            n_started = np.searchsorted(starts_s, ge_arr, side="right")
+            n_ended = np.searchsorted(np.sort(ends_s), gs_arr, side="left")
+            cnt = n_started - n_ended
+            hit_counts[g_idx, ci] = cnt
+
+            cand = np.searchsorted(
+                np.maximum.accumulate(ends_s), gs_arr, side="left"
+            )
+            one = cnt == 1
+            hits_cn[g_idx[one], ci] = cn_s[cand[one]]
 
     # uniquely mapped: exactly one hit per clone (Rmd:144-148)
-    keep = (hit_counts == C) & ~np.isnan(hits_cn).any(axis=1)
+    keep = (hit_counts == 1).all(axis=1)
 
     mat = hits_cn[keep]
     ids = [g for g, k in zip(gene_ids, keep) if k]

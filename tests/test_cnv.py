@@ -93,3 +93,52 @@ def test_on_bundled_df_cnv():
     # all retained genes vary across clones and have min CN <= 6
     assert (res.copy_number.min(axis=1) <= 6).all()
     assert (res.copy_number.var(axis=1, ddof=1) > 0).all()
+
+
+def test_vectorized_overlap_matches_bruteforce_oracle():
+    """The searchsorted interval join must agree with a brute-force overlap
+    scan, including breakpoint-spanning (multi-hit) and unmapped genes."""
+    rng = np.random.default_rng(7)
+    C, chroms = 3, ["1", "2"]
+    seg_chr, seg_s, seg_e, seg_cn, seg_cl = [], [], [], [], []
+    for c in range(C):
+        for ch in chroms:
+            bounds = np.sort(rng.choice(10_000, 40, replace=False))
+            for i in range(0, len(bounds) - 1, 2):
+                seg_chr.append(ch)
+                seg_s.append(int(bounds[i]))
+                seg_e.append(int(bounds[i + 1]))
+                seg_cn.append(int(rng.integers(0, 8)))
+                seg_cl.append(f"cl{c}")
+    G = 400
+    g_chr = rng.choice(chroms + ["3"], G)  # "3" has no segments
+    g_s = rng.integers(0, 10_000, G)
+    g_e = g_s + rng.integers(1, 800, G)
+    ids = [f"g{i}" for i in range(G)]
+
+    out = cnv_regions_to_genes(
+        seg_chr, seg_s, seg_e, seg_cn, seg_cl, ids, g_chr, g_s, g_e,
+        max_min_copy_number=None, require_varying_copy_number=False,
+    )
+
+    kept = {g: i for i, g in enumerate(out.gene_ids)}
+    for gi in range(G):
+        hits = {}
+        unique = True
+        for c in range(C):
+            k = [
+                j
+                for j in range(len(seg_chr))
+                if seg_cl[j] == f"cl{c}"
+                and seg_chr[j] == g_chr[gi]
+                and seg_s[j] <= g_e[gi]
+                and seg_e[j] >= g_s[gi]
+            ]
+            if len(k) != 1:
+                unique = False
+                break
+            hits[f"cl{c}"] = seg_cn[k[0]]
+        assert (ids[gi] in kept) == unique, (gi, unique)
+        if unique:
+            row = out.copy_number[kept[ids[gi]]]
+            assert list(row) == [hits[c] for c in out.clone_names]
