@@ -213,7 +213,15 @@ def setup_fit(
         clone_probs_from_snv = np.asarray(snv_clone_probs(v_log_prob))
 
     config = mm.ModelConfig(K=K, P=P, mc_samples=int(mc_samples), fix_alpha=fix_alpha)
-    storage_map = {None: None, "float32": None, "bfloat16": jnp.bfloat16}
+    # int16/int8 store counts EXACTLY (bf16 rounds above 256) at comparable
+    # speed; prepare_data raises if any count would overflow the range.
+    storage_map = {
+        None: None,
+        "float32": None,
+        "bfloat16": jnp.bfloat16,
+        "int16": jnp.int16,
+        "int8": jnp.int8,
+    }
     if y_storage not in storage_map:
         raise ValueError(
             f"y_storage must be one of {sorted(k for k in storage_map if k)}, got {y_storage!r}"

@@ -35,3 +35,43 @@ def test_prepare_data_downcast_after_stats():
     np.testing.assert_array_equal(np.asarray(d16.s), np.asarray(d32.s))
     np.testing.assert_array_equal(np.asarray(d16.log_binom), np.asarray(d32.log_binom))
     np.testing.assert_array_equal(np.asarray(d16.YlogL), np.asarray(d32.YlogL))
+
+
+def test_int16_storage_is_exact():
+    """Integer storage is lossless (bf16 rounds counts > 256): same-key fits
+    with int16 storage match plain f32 storage exactly."""
+    from clonealign_tpu import clonealign
+    from clonealign_tpu.synth import simulate_multinomial
+
+    sim = simulate_multinomial(N=50, G=30, C=3, seed=1, mean_total=3000)
+    assert sim.Y.max() > 256  # regime where bf16 would round
+    f32 = clonealign(sim.Y, sim.L, max_iter=15, seed=0, verbose=False)
+    i16 = clonealign(sim.Y, sim.L, max_iter=15, seed=0, verbose=False, y_storage="int16")
+    np.testing.assert_allclose(
+        i16.convergence_info.final_elbo, f32.convergence_info.final_elbo, rtol=2e-6
+    )
+    assert list(i16.clone) == list(f32.clone)
+
+
+def test_integer_storage_overflow_and_fraction_raise():
+    import pytest
+    import jax.numpy as jnp
+    from clonealign_tpu.models import multinomial as mm
+
+    Y = np.zeros((4, 3))
+    Y[0, 0] = 300.0
+    L = np.ones((3, 2))
+    with pytest.raises(ValueError, match="cannot hold"):
+        mm.prepare_data(Y, L, y_storage=jnp.int8)
+    mm.prepare_data(Y, L, y_storage=jnp.int16)  # fits
+    Yf = Y.copy()
+    Yf[1, 1] = 0.5
+    with pytest.raises(ValueError, match="fractional"):
+        mm.prepare_data(Yf, L, y_storage=jnp.int16)
+
+    import scipy.sparse as sp
+
+    with pytest.raises(ValueError, match="cannot hold"):
+        mm.prepare_data(sp.csr_matrix(Y), L, y_storage=jnp.int8)
+    d = mm.prepare_data(sp.csr_matrix(Y), L, y_storage=jnp.int16)
+    assert d.Y.dtype == jnp.int16
