@@ -1,6 +1,6 @@
 """Single-chip scale headroom: 500k cells x 2k genes x 10 clones,
-10-restart sweep. Prints one JSON line (documented result: ~9.2s on one
-v5e chip = 545k cells-assigned/s, ground-truth accuracy 1.0).
+10-restart sweep. Prints one JSON line (documented result: ~6.8s on one
+v5e chip = 740k cells-assigned/s, ground-truth accuracy 1.0).
 
 Usage: python benchmarks/scale_test.py [--cells 500000] [--genes 2000]
 """
@@ -51,10 +51,10 @@ def main():
         del Y
         host_mb = (Y_sp.data.nbytes + Y_sp.indices.nbytes + Y_sp.indptr.nbytes) / 1e6
         ingest = f"sparse csr ({host_mb:.0f} MB host, density {Y_sp.nnz / (N * G):.3f})"
-        data = mm.prepare_data(Y_sp, L, dtype=jnp.float32, y_storage=jnp.bfloat16)
+        data = mm.prepare_data(Y_sp, L, dtype=jnp.float32, y_storage=jnp.int8)
         del Y_sp
     else:
-        data = mm.prepare_data(Y, L, dtype=jnp.float32, y_storage=jnp.bfloat16)
+        data = mm.prepare_data(Y, L, dtype=jnp.float32, y_storage=jnp.int8)
         del Y
     config = mm.ModelConfig(K=1, P=0, mc_samples=1)
 

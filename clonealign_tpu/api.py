@@ -117,6 +117,24 @@ class FitContext:
         self.__dict__.update(kw)
 
 
+def _auto_y_storage(y_values):
+    """Narrowest EXACT device storage for the count matrix: int8 when every
+    count fits, int16 up to 32767, else the compute dtype. Only integer
+    dtypes are auto-selected — they are lossless, so "auto" can never change
+    results (verified bit-identical assignments at benchmark scale,
+    docs/design.md section 2)."""
+    if y_values.size == 0:
+        return None
+    ymax = float(y_values.max())
+    if float(np.max(np.abs(y_values - np.round(y_values)))) != 0.0:
+        return None  # fractional "counts": keep full precision
+    if ymax <= np.iinfo(np.int8).max:
+        return jnp.int8
+    if ymax <= np.iinfo(np.int16).max:
+        return jnp.int16
+    return None
+
+
 def setup_fit(
     gene_expression_data,
     copy_number_data,
@@ -213,10 +231,13 @@ def setup_fit(
         clone_probs_from_snv = np.asarray(snv_clone_probs(v_log_prob))
 
     config = mm.ModelConfig(K=K, P=P, mc_samples=int(mc_samples), fix_alpha=fix_alpha)
-    # int16/int8 store counts EXACTLY (bf16 rounds above 256) at comparable
-    # speed; prepare_data raises if any count would overflow the range.
+    # int16/int8 store counts EXACTLY (bf16 rounds above 256) and are the
+    # fastest options (docs/design.md section 2); prepare_data raises if any
+    # count would overflow the range. "auto" picks the narrowest exact
+    # integer dtype, falling back to full precision for fractional counts.
     storage_map = {
         None: None,
+        "auto": "auto",
         "float32": None,
         "bfloat16": jnp.bfloat16,
         "int16": jnp.int16,
@@ -227,6 +248,8 @@ def setup_fit(
             f"y_storage must be one of {sorted(k for k in storage_map if k)}, got {y_storage!r}"
         )
     storage = storage_map[y_storage]
+    if storage == "auto":
+        storage = _auto_y_storage(y_values)
     data = mm.prepare_data(Y, L, x=x, dtype=jdtype, y_storage=storage)
 
     return FitContext(

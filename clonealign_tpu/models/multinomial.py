@@ -92,6 +92,11 @@ class ModelData(NamedTuple):
     s: jax.Array         # (N,) per-cell totals (multinomial total_count)
     log_binom: jax.Array  # (N,) lgamma(s+1) - sum_g lgamma(y+1)
     YlogL: jax.Array     # (N, C) = sum_g xlogy(y_ng, L_gc), precomputed
+    # (G,) per-gene count totals. Lets the ELBO treat the A2 = Y @ log_mu
+    # term as dot(colsum_Y, sum_s log_mu)/S — see elbo() — removing one full
+    # pass over Y from every training step (forward AND backward). None only
+    # for hand-built pytrees; elbo() falls back to computing it on the fly.
+    colsum_Y: Optional[jax.Array] = None
 
 
 class ModelConfig(NamedTuple):
@@ -107,12 +112,16 @@ class ModelConfig(NamedTuple):
 def _use_fused(config: "ModelConfig", dtype) -> bool:
     if config.likelihood_impl == "fused":
         return True
-    # "auto" resolves to the XLA path. Measured in-loop at 100k x 5k x 10 on
-    # v5e: XLA 4.5ms fwd / 4.8ms grad per evaluation vs 11.7/17.5ms for the
-    # Pallas kernel — XLA's fusion of the decomposed likelihood already
-    # streams Y once per pass (2 GB ~= 2.5ms at HBM roofline), so the
-    # hand-written kernel has no headroom to exploit on this op. It remains
-    # selectable ("fused") as the scaffold for regimes XLA handles badly.
+    # "auto" resolves to the XLA path. Measured at 100k x 5k x 10 on v5e
+    # (round 2, honest fetch-synced timing): the Pallas kernel is 15.8 ms
+    # per forward vs 4.0 ms for the identical computation in XLA, because
+    # Mosaic pays for transposed in-kernel dots (y^T @ psi and rfe^T @ dZ
+    # run at 4.8-16 ms) that XLA gets free via layout assignment, and the
+    # 16 MB scoped-VMEM cap keeps tiles in the regime where int8 widening
+    # dominates. With the constant-cotangent ELBO decomposition (see elbo())
+    # the XLA training step is at its structural floor (two Y passes,
+    # 2.65 ms in-loop). Full analysis: docs/design.md section 2b. The kernel
+    # remains selectable ("fused") as a tested scaffold.
     return False
 
 
@@ -124,7 +133,7 @@ def _prepare_data_core(Y, L):
     B = Y @ log_L_safe
     hits_zero = (Y @ (L <= 0).astype(Y.dtype)) > 0
     B = jnp.where(hits_zero, -jnp.inf, B)
-    return s, log_binom, B
+    return s, log_binom, B, jnp.sum(Y, axis=0)
 
 
 def prepare_data(Y, L, x=None, dtype=jnp.float32, y_storage=None) -> ModelData:
@@ -135,16 +144,17 @@ def prepare_data(Y, L, x=None, dtype=jnp.float32, y_storage=None) -> ModelData:
     it. (The reference feeds probs straight into tfd.Multinomial, which yields
     NaN for that corner; xlogy is the correct limit and agrees everywhere L>0.)
 
-    ``y_storage`` optionally stores the (large) Y matrix in a narrower dtype
-    — e.g. ``jnp.bfloat16`` halves the dominant HBM traffic of every
-    likelihood evaluation (contractions still accumulate in the compute
-    dtype). All derived statistics (totals, lgamma terms, Y @ log L) are
-    computed at full precision *before* the downcast. At 100k x 5k x 10,
-    bf16 storage is ~1.45x faster with bit-identical clone assignments
-    (counts above 256 round to the nearest even bf16, perturbing the ELBO by
-    ~1e-5 relative). Integer storage (``jnp.int16``/``jnp.int8``) is EXACT —
-    counts are integers — at bf16-comparable speed; values exceeding the
-    integer range raise instead of silently wrapping.
+    ``y_storage`` optionally stores the (large) Y matrix in a narrower dtype,
+    cutting the dominant HBM traffic of every likelihood evaluation
+    (contractions still accumulate in the compute dtype). All derived
+    statistics (totals, lgamma terms, Y @ log L, colsum_Y) are computed at
+    full precision *before* the downcast. Integer storage
+    (``jnp.int8``/``jnp.int16``) is EXACT — counts are integers — and values
+    exceeding the integer range raise instead of silently wrapping; int8 is
+    the fastest option measured (docs/design.md section 2) with clone
+    assignments identical to f32 at benchmark scale. ``jnp.bfloat16`` is the
+    lossy alternative when counts exceed int16 (exact only below 257;
+    larger counts round to nearest-even, ELBO perturbed ~1e-5 relative).
     """
     try:
         import scipy.sparse as sp
@@ -155,12 +165,14 @@ def prepare_data(Y, L, x=None, dtype=jnp.float32, y_storage=None) -> ModelData:
         pass
     Y = jnp.asarray(Y, dtype)
     L = jnp.asarray(L, dtype)
-    s, log_binom, B = _prepare_data_core(Y, L)
+    s, log_binom, B, colsum = _prepare_data_core(Y, L)
     X = None if x is None else jnp.asarray(x, dtype)
     if y_storage is not None:
         _check_integer_storage(Y, y_storage)
         Y = Y.astype(y_storage)
-    return ModelData(Y=Y, L=L, X=X, s=s, log_binom=log_binom, YlogL=B)
+    return ModelData(
+        Y=Y, L=L, X=X, s=s, log_binom=log_binom, YlogL=B, colsum_Y=colsum
+    )
 
 
 def _check_integer_storage(Y, y_storage):
@@ -223,6 +235,7 @@ def prepare_data_sparse(
         parts.append(jnp.asarray(block.astype(np_store)))
     Yd = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
+    colsum = np.asarray(Y.sum(axis=0)).ravel()
     return ModelData(
         Y=Yd,
         L=jnp.asarray(L, dtype),
@@ -230,6 +243,7 @@ def prepare_data_sparse(
         s=jnp.asarray(s, dtype),
         log_binom=jnp.asarray(log_binom, dtype),
         YlogL=jnp.asarray(B, dtype),
+        colsum_Y=jnp.asarray(colsum, dtype),
     )
 
 
@@ -325,6 +339,23 @@ def sample_mu_base(params: CloneAlignParams, key, mc_samples: int):
     return params.qmu_loc[None, :] + jnp.exp(params.qmu_log_scale)[None, :] * eps
 
 
+def _compute_Z(params: CloneAlignParams, data: ModelData, mu_samples: jax.Array):
+    """Z[s,c,n] = sum_g m[s,g] L[g,c] rfe[n,g] — the per-(sample, clone, cell)
+    gene normalizer of the multinomial probabilities
+    (reference R/inference-tflow.R:290-291, decomposed; module docstring)."""
+    K = params.W.shape[1]
+    P = params.beta.shape[1]
+    N = data.Y.shape[0]
+    mL = mu_samples[:, None, :] * data.L.T[None, :, :]  # (S, C, G)
+    if K > 0 or P > 0:
+        log_rfe = params.psi @ params.W.T
+        if P > 0:
+            log_rfe = log_rfe + data.X @ params.beta.T
+        rfe = jnp.exp(log_rfe)  # (N, G)
+        return jnp.einsum("scg,ng->scn", mL, rfe)
+    return jnp.sum(mL, axis=2)[:, :, None] * jnp.ones((1, 1, N), mu_samples.dtype)
+
+
 def log_p_y_on_c(
     params: CloneAlignParams,
     data: ModelData,
@@ -372,17 +403,7 @@ def log_p_y_on_c(
             A1 = A1 + jnp.sum(data.X * (data.Y @ params.beta), axis=1)
 
         A2 = data.Y @ log_mu.T  # (N, S)
-
-        # Z[s,c,n] = sum_g m[s,g] L[g,c] rfe[n,g]
-        mL = mu_samples[:, None, :] * data.L.T[None, :, :]  # (S, C, G)
-        if K > 0 or P > 0:
-            log_rfe = params.psi @ params.W.T
-            if P > 0:
-                log_rfe = log_rfe + data.X @ params.beta.T
-            rfe = jnp.exp(log_rfe)  # (N, G)
-            Z = jnp.einsum("scg,ng->scn", mL, rfe)
-        else:
-            Z = jnp.sum(mL, axis=2)[:, :, None] * jnp.ones((1, 1, N), dtype)
+        Z = _compute_Z(params, data, mu_samples)
 
     ll = (
         data.log_binom[None, None, :]
@@ -409,24 +430,78 @@ def elbo(
     (SURVEY.md §2.4): the mu prior is Normal(0,1) on log(mu) *without* a
     Jacobian (item 6), and the Dirichlet prior is evaluated at
     softmax(alpha)+1e-3, off the simplex (item 7).
+
+    **Constant-cotangent decomposition.** The likelihood terms that are the
+    same for every clone — log_binom, A1 = sum_g y log rfe, A2 = sum_g y
+    log mu — leave the responsibility contraction algebraically:
+    ``sum_nc gamma_nc * const_n = sum_n const_n`` because softmax rows sum to
+    exactly 1, and a per-cell constant shift of the (n, c) log-likelihood is
+    annihilated by the softmax Jacobian, so the gamma_logits gradient is
+    unchanged too. Consequences for the training step, at 100k x 5k x 10:
+
+    * ``sum_ns A2 / S = dot(colsum_Y, sum_s log_mu) / S`` — a G-length dot
+      with a precomputed constant. Y is no longer read for A2 in the forward
+      pass, and its qmu-gradient (``colsum_Y / S``) costs nothing in the
+      backward pass.
+    * A1 collapses to ``vdot(psi, Y @ W)``; its backward needs one pass over
+      Y (``dW = Y^T psi``) — together with the forward ``Y @ W`` these are
+      the only two Y passes per step (measured 3.68 -> ~2.7 ms/step in-loop).
+
+    The per-(clone, cell) part — YlogL, the Z normalizer, the allele term —
+    stays inside the gamma contraction unchanged.
     """
     S = config.mc_samples
     mu_base = sample_mu_base(params, key, S)
     mu_samples = softplus(mu_base)
+    log_mu = jnp.log(mu_samples)
 
-    p_y = log_p_y_on_c(params, data, mu_base, extra_log_lik, config)  # (S, C, N)
+    K = config.K
+    P = config.P
+    dtype = params.qmu_loc.dtype
+
+    if (K > 0 or P > 0) and _use_fused(config, data.Y.dtype):
+        # The Pallas kernel returns per-cell A1/A2 plus Z in one Y pass; the
+        # decomposition then just sums them.
+        N = data.Y.shape[0]
+        C = data.L.shape[1]
+        from ..ops.fused_likelihood import fused_likelihood_terms
+
+        psi_ext = params.psi if P == 0 else jnp.concatenate([params.psi, data.X], axis=1)
+        W_ext = params.W if P == 0 else jnp.concatenate([params.W, params.beta], axis=1)
+        muL = (mu_samples[:, None, :] * data.L.T[None, :, :]).transpose(2, 0, 1)
+        muL = muL.reshape(data.L.shape[0], S * C)
+        A1, A2, Z_flat = fused_likelihood_terms(data.Y, psi_ext, W_ext, log_mu, muL)
+        Z = Z_flat.reshape(N, S, C).transpose(1, 2, 0)  # (S, C, N)
+        const_sum = jnp.sum(data.log_binom) + jnp.sum(A1) + jnp.sum(A2) / S
+    else:
+        A1_sum = jnp.zeros((), dtype)
+        if K > 0:
+            A1_sum = jnp.sum(params.psi * (data.Y @ params.W))
+        if P > 0:
+            A1_sum = A1_sum + jnp.sum(data.X * (data.Y @ params.beta))
+        if data.colsum_Y is not None:
+            colsum = data.colsum_Y
+        else:  # hand-built ModelData: fall back to an on-the-fly pass
+            colsum = jnp.sum(data.Y.astype(dtype), axis=0)
+        A2_sum = jnp.vdot(jax.lax.stop_gradient(colsum), jnp.sum(log_mu, axis=0)) / S
+        const_sum = jnp.sum(data.log_binom) + A1_sum + A2_sum
+        Z = _compute_Z(params, data, mu_samples)  # (S, C, N)
+
+    clone_ll = data.YlogL.T[None, :, :] - data.s[None, None, :] * jnp.log(Z)
+    if extra_log_lik is not None:
+        clone_ll = clone_ll + extra_log_lik.T[None, :, :]
 
     gamma = jax.nn.softmax(params.gamma_logits, axis=1)  # (N, C)
     log_gamma = jax.nn.log_softmax(params.gamma_logits, axis=1)
 
-    E_p_y_on_c = jnp.mean(p_y, axis=0)  # (C, N)
+    E_clone_ll = jnp.mean(clone_ll, axis=0)  # (C, N)
     # xlogy-style guard: a clone with zero copy number at an expressed gene
     # has log-lik -inf; its responsibility is exactly 0 (see
     # gamma_warm_start_logits), and 0 * -inf must contribute 0, not NaN.
     # The -inf is masked BEFORE the multiply (double-where) so the backward
     # pass never sees 0 * inf either.
-    safe_ll = jnp.where(gamma == 0, 0.0, E_p_y_on_c.T)
-    EE_p_y = jnp.sum(gamma * safe_ll)
+    safe_ll = jnp.where(gamma == 0, 0.0, E_clone_ll.T)
+    EE_p_y = jnp.sum(gamma * safe_ll) + const_sum
 
     if config.fix_alpha:
         # Documented-but-dead reference flag (SURVEY.md §2.4 item 2),
@@ -444,7 +519,7 @@ def elbo(
     )
     E_log_p_p = (
         jnp.sum(log_alpha[None, :] * gamma)
-        + jnp.sum(_normal_log_prob(jnp.log(mu_samples))) / S
+        + jnp.sum(_normal_log_prob(log_mu)) / S
         + dirichlet_lp
     )
 

@@ -65,6 +65,7 @@ def data_shardings(mesh: Mesh, has_x: bool) -> mm.ModelData:
         s=NamedSharding(mesh, P(CELL_AXIS)),
         log_binom=NamedSharding(mesh, P(CELL_AXIS)),
         YlogL=NamedSharding(mesh, P(CELL_AXIS, None)),
+        colsum_Y=NamedSharding(mesh, P(GENE_AXIS)),
     )
 
 

@@ -108,3 +108,92 @@ def test_gamma_warm_start_shrink_semantics():
     # full-strength logits are normalized log-probs: logsumexp over clones = 0
     lse = jax.scipy.special.logsumexp(full, axis=1)
     np.testing.assert_allclose(np.asarray(lse), 0.0, atol=1e-8)
+
+
+def _elbo_straightforward(params, data, mu_b, config):
+    """The pre-decomposition ELBO: gamma contracted against the FULL
+    per-(clone, cell) log-likelihood from log_p_y_on_c, exactly as the
+    reference graph does (reference R/inference-tflow.R:306-336). Used to
+    prove elbo()'s constant-cotangent decomposition (its docstring) is an
+    identity for both the value and every gradient."""
+    S = config.mc_samples
+    mu_samples = mm.softplus(mu_b)
+    p_y = mm.log_p_y_on_c(params, data, mu_b, None, config)
+    gamma = jax.nn.softmax(params.gamma_logits, axis=1)
+    log_gamma = jax.nn.log_softmax(params.gamma_logits, axis=1)
+    E = jnp.mean(p_y, axis=0)
+    EE = jnp.sum(gamma * jnp.where(gamma == 0, 0.0, E.T))
+    log_alpha = jax.nn.log_softmax(params.alpha_unconstr)
+    C = log_alpha.shape[0]
+    dir_x = jnp.exp(log_alpha) + 1e-3
+    dir_lp = jnp.sum((1.0 / C - 1.0) * jnp.log(dir_x)) - C * jax.lax.lgamma(
+        jnp.asarray(1.0 / C, dir_x.dtype)
+    )
+    Epp = (
+        jnp.sum(log_alpha[None, :] * gamma)
+        + jnp.sum(mm._normal_log_prob(jnp.log(mu_samples))) / S
+        + dir_lp
+    )
+    chi = jnp.exp(params.chi_unconstr)
+    Epp = Epp + (
+        jnp.sum(mm._normal_log_prob(params.W, 0.0, jnp.sqrt(1 / chi)[None, :]))
+        + jnp.sum(jnp.log(chi) - chi)
+        + jnp.sum(mm._normal_log_prob(params.psi))
+    )
+    scale = jnp.exp(params.qmu_log_scale)
+    qlp = mm._normal_log_prob(
+        mu_b, params.qmu_loc[None, :], scale[None, :]
+    ) - jax.nn.log_sigmoid(mu_b)
+    Eq = jnp.sum(jnp.mean(qlp, axis=0)) + jnp.sum(
+        jnp.where(gamma == 0, 0.0, gamma * log_gamma)
+    )
+    return EE + Epp - Eq
+
+
+def test_decomposed_elbo_gradients_match_straightforward_form():
+    """elbo() pulls the per-cell-constant likelihood terms (log_binom, A1,
+    A2 via colsum_Y) out of the gamma contraction. This must be an exact
+    identity — softmax rows sum to 1 and per-cell shifts are annihilated by
+    the softmax Jacobian — for the value AND all parameter gradients."""
+    Y, L, X, params, mu_base = _rand_state(K=1, P=0, S=2, seed=7)
+    data = mm.prepare_data(Y, L, dtype=jnp.float64)
+    config = mm.ModelConfig(K=1, P=0, mc_samples=2)
+    mu_b = jnp.asarray(mu_base)
+
+    import clonealign_tpu.models.multinomial as m
+
+    orig = m.sample_mu_base
+    m.sample_mu_base = lambda p, k, s: mu_b
+    try:
+        v_new, g_new = jax.value_and_grad(
+            lambda p: mm.elbo(p, data, jax.random.PRNGKey(0), config)
+        )(params)
+    finally:
+        m.sample_mu_base = orig
+    v_ref, g_ref = jax.value_and_grad(
+        lambda p: _elbo_straightforward(p, data, mu_b, config)
+    )(params)
+
+    np.testing.assert_allclose(float(v_new), float(v_ref), rtol=1e-12)
+    for name in params._fields:
+        a, b = getattr(g_new, name), getattr(g_ref, name)
+        if a.size == 0:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-11,
+            err_msg=f"gradient mismatch for {name}",
+        )
+
+
+def test_elbo_colsum_fallback_matches_precomputed():
+    """A hand-built ModelData without colsum_Y must evaluate identically
+    (elbo() computes the column sums on the fly)."""
+    Y, L, X, params, mu_base = _rand_state(K=1, P=0, S=1, seed=11)
+    data = mm.prepare_data(Y, L, dtype=jnp.float64)
+    assert data.colsum_Y is not None
+    data_nocs = data._replace(colsum_Y=None)
+    config = mm.ModelConfig(K=1, P=0, mc_samples=1)
+    key = jax.random.PRNGKey(3)
+    a = float(mm.elbo(params, data, key, config))
+    b = float(mm.elbo(params, data_nocs, key, config))
+    np.testing.assert_allclose(a, b, rtol=1e-12)

@@ -29,8 +29,14 @@ def test_golden_initial_elbo(golden_fit):
 
 
 def test_golden_final_elbo(golden_fit):
+    # Pin bumped (round 2) for the constant-cotangent ELBO decomposition
+    # (models/multinomial.elbo docstring): an algebraic identity — value and
+    # every gradient proven equal to 1e-10 in tests/test_elbo_parity.py —
+    # whose different f64 rounding shifts the 10-step Adam trajectory by
+    # 4.7e-7 relative. The warm-start ELBO pin (above) and the golden
+    # assignment counts (below) are unchanged.
     np.testing.assert_allclose(
-        golden_fit.convergence_info.final_elbo, -16400.453425836364, rtol=1e-9
+        golden_fit.convergence_info.final_elbo, -16400.445648396995, rtol=1e-9
     )
 
 

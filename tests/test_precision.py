@@ -75,3 +75,28 @@ def test_integer_storage_overflow_and_fraction_raise():
         mm.prepare_data(sp.csr_matrix(Y), L, y_storage=jnp.int8)
     d = mm.prepare_data(sp.csr_matrix(Y), L, y_storage=jnp.int16)
     assert d.Y.dtype == jnp.int16
+
+
+def test_auto_y_storage_selects_narrowest_exact_dtype():
+    """y_storage="auto" picks int8/int16 when counts fit, full precision
+    otherwise — and, being lossless, matches the default fit exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+    from clonealign_tpu.api import _auto_y_storage
+
+    assert _auto_y_storage(np.array([[0.0, 5.0], [127.0, 1.0]])) == jnp.int8
+    assert _auto_y_storage(np.array([[0.0, 128.0]])) == jnp.int16
+    assert _auto_y_storage(np.array([[0.0, 40000.0]])) is None
+    assert _auto_y_storage(np.array([[0.5, 1.0]])) is None  # fractional
+    assert _auto_y_storage(np.zeros((0, 3))) is None
+
+    from clonealign_tpu.synth import simulate_multinomial
+
+    sim = simulate_multinomial(N=50, G=30, C=3, seed=4, mean_total=400)
+    auto = clonealign(sim.Y, sim.L, max_iter=15, seed=0, verbose=False, y_storage="auto")
+    explicit = clonealign(sim.Y, sim.L, max_iter=15, seed=0, verbose=False, y_storage="int8")
+    assert list(auto.clone) == list(explicit.clone)
+    np.testing.assert_array_equal(
+        np.asarray(auto.ml_params["clone_probs"]),
+        np.asarray(explicit.ml_params["clone_probs"]),
+    )
