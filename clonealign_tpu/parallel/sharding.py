@@ -120,11 +120,15 @@ def sharded_fit(
     config: Optional[mm.ModelConfig] = None,
     data_init_mu=True,
     extra_log_lik=None,
+    y_storage=None,
     **infer_kwargs,
 ):
     """Multi-restart fit on a device mesh: data sharded (cells x genes),
     restarts vmapped, one jitted program. Returns the stacked
     :class:`~clonealign_tpu.infer.InferenceResult` over restarts.
+
+    ``y_storage`` matches :func:`~clonealign_tpu.api.clonealign`'s option
+    (a jnp dtype here, e.g. ``jnp.int8`` — exact for integer counts).
     """
     from ..restarts import _sweep_program
 
@@ -132,7 +136,10 @@ def sharded_fit(
         key = jax.random.PRNGKey(0)
     config = config or mm.ModelConfig(K=1, P=0 if x is None else x.shape[1])
 
-    data = mm.prepare_data(np.asarray(Y), np.asarray(L), x=x, dtype=dtype)
+    import scipy.sparse as sp
+
+    Y_in = Y if sp.issparse(Y) else np.asarray(Y)
+    data = mm.prepare_data(Y_in, np.asarray(L), x=x, dtype=dtype, y_storage=y_storage)
     data = shard_data(data, mesh)
 
     if initial_shrinks is None:

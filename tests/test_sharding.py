@@ -131,3 +131,21 @@ def test_data_shardings_cover_pytree(sim):
     for leaf, spec in zip(data, specs):
         if leaf is not None:
             assert spec is not None
+
+
+def test_sharded_fit_y_storage_int8(sim):
+    """Integer count storage composes with the mesh path: same keys give the
+    same argmax assignments as full-precision storage."""
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(13)
+    config = mm.ModelConfig(K=1, P=0, mc_samples=1)
+    mesh = make_mesh(gene_parallelism=2)
+    kwargs = dict(max_iter=8, rel_tol=1e-10, dtype=jnp.float32, config=config, key=key)
+    r_full = sharded_fit(sim.Y, sim.L, mesh, n_restarts=1, **kwargs)
+    r_int8 = sharded_fit(sim.Y, sim.L, mesh, n_restarts=1, y_storage=jnp.int8, **kwargs)
+    assert r_int8.params.gamma_logits.dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(r_int8.params.gamma_logits, axis=-1)),
+        np.asarray(jnp.argmax(r_full.params.gamma_logits, axis=-1)),
+    )
