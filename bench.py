@@ -17,11 +17,15 @@ import time
 import numpy as np
 
 
-def make_synthetic(key, N, G, C, dtype, chunk=10_000):
+def make_synthetic(key, N, G, C, dtype, chunk=10_000, out_dtype=None):
     """Clone-structured Poisson counts generated on-device (conditioning on
     totals makes Poisson rows exactly the model's multinomial). Generated in
     cell chunks: jax.random.poisson's rejection sampler carries ~8 copies of
-    its operand through a while_loop, which OOMs at 100k x 5k in one shot."""
+    its operand through a while_loop, which OOMs at 100k x 5k in one shot.
+
+    ``out_dtype`` (e.g. jnp.int16) stores the counts narrow as they are
+    generated, so a 1M x 2k matrix never exists in float32 (8 GB) on-device.
+    Counts are small integers, so integer narrowing is exact."""
     import jax
     import jax.numpy as jnp
 
@@ -34,13 +38,14 @@ def make_synthetic(key, N, G, C, dtype, chunk=10_000):
     n_chunks = -(-N // chunk)
     N_pad = n_chunks * chunk
     z_pad = jnp.pad(z, (0, N_pad - N))
+    store = dtype if out_dtype is None else out_dtype
 
     @jax.jit
     def gen_chunk(k, z_c):
         rates = mu[None, :] * L[:, z_c].T  # (chunk, G)
         rates = rates * (2000.0 / jnp.sum(rates, axis=1, keepdims=True))
         y = jax.random.poisson(k, rates).astype(dtype)
-        return y.at[:, 0].add((jnp.sum(y, axis=1) == 0).astype(dtype))
+        return y.at[:, 0].add((jnp.sum(y, axis=1) == 0).astype(dtype)).astype(store)
 
     keys = jax.random.split(k4, n_chunks)
     parts = [gen_chunk(keys[i], z_pad[i * chunk : (i + 1) * chunk]) for i in range(n_chunks)]

@@ -39,7 +39,10 @@ def main():
     N, G, C, R = args.cells, args.genes, args.clones, args.restarts
 
     key = jax.random.PRNGKey(0)
-    Y, L, z = make_synthetic(key, N, G, C, jnp.float32, chunk=25_000)
+    # counts generated directly in int16 (exact): a 1M x 2k matrix never
+    # exists in f32 (8 GB) on-device; prepare_data narrows to int8 chunked
+    Y, L, z = make_synthetic(key, N, G, C, jnp.float32, chunk=25_000,
+                             out_dtype=jnp.int16)
     ingest = "dense"
     if args.sparse:
         # sparse ingestion path: Y leaves the device as scipy CSR and comes
@@ -65,7 +68,11 @@ def main():
             p0 = mm.init_params(data.Y, data.L, ki, K=1, dtype=jnp.float32)
             r = run_inference(
                 p0, data, kr, config, max_iter=args.max_iter,
-                elbo_eval="reuse", loop_impl="scan", unroll=4, remat=False,
+                elbo_eval="reuse", loop_impl="scan", unroll=4,
+                # remat only when the gene-blocked Z path kicks in (storing
+                # per-block exp residuals would defeat the blocking); below
+                # that threshold storing the forward intermediates is faster
+                remat=N * G > (1 << 30),
             )
             return r.final_elbo, jnp.argmax(r.params.gamma_logits, axis=1)
         elbos, assign = jax.lax.map(one_fit, keys)

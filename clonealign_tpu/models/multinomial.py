@@ -163,6 +163,8 @@ def prepare_data(Y, L, x=None, dtype=jnp.float32, y_storage=None) -> ModelData:
             return prepare_data_sparse(Y, L, x=x, dtype=dtype, y_storage=y_storage)
     except ImportError:  # pragma: no cover
         pass
+    if int(Y.shape[0]) * int(Y.shape[1]) > _CHUNK_ELEMENTS:
+        return _prepare_data_dense_chunked(Y, L, x=x, dtype=dtype, y_storage=y_storage)
     Y = jnp.asarray(Y, dtype)
     L = jnp.asarray(L, dtype)
     s, log_binom, B, colsum = _prepare_data_core(Y, L)
@@ -172,6 +174,93 @@ def prepare_data(Y, L, x=None, dtype=jnp.float32, y_storage=None) -> ModelData:
         Y = Y.astype(y_storage)
     return ModelData(
         Y=Y, L=L, X=X, s=s, log_binom=log_binom, YlogL=B, colsum_Y=colsum
+    )
+
+
+# Above this many elements the dense prepare/init paths switch to row-chunked
+# processing so peak device memory is O(chunk x G) + the storage-dtype copy of
+# Y, never a second full-precision N x G tensor. 2^28 elements = 1 GB at f32;
+# the 100k x 5k benchmark config (5e8) chunks, 1M x 2k (2e9) must.
+_CHUNK_ELEMENTS = 1 << 28
+
+
+def _row_chunk_size(N: int, G: int) -> int:
+    rows = max(1, _CHUNK_ELEMENTS // max(G, 1))
+    rows = min(rows, N)
+    if rows >= 8:
+        rows -= rows % 8
+    return rows
+
+
+@jax.jit
+def _chunk_stats(yc, log_L_safe, zero_cols):
+    s = jnp.sum(yc, axis=1)
+    lb = jax.lax.lgamma(s + 1.0) - jnp.sum(jax.lax.lgamma(yc + 1.0), axis=1)
+    B = yc @ log_L_safe
+    hits_zero = (yc @ zero_cols) > 0
+    B = jnp.where(hits_zero, -jnp.inf, B)
+    ymax = jnp.max(yc) if yc.size else jnp.zeros((), yc.dtype)
+    nonint = (
+        jnp.max(jnp.abs(yc - jnp.round(yc))) if yc.size else jnp.zeros((), yc.dtype)
+    )
+    return s, lb, B, jnp.sum(yc, axis=0), ymax, nonint
+
+
+def _prepare_data_dense_chunked(Y, L, x=None, dtype=jnp.float32, y_storage=None):
+    """Row-chunked version of the dense prepare path (same outputs; see
+    prepare_data). Statistics stream through the device one chunk at a time,
+    and the device-resident Y is built directly in the storage dtype — peak
+    device memory is O(chunk x G) + N x G x storage_bytes instead of two
+    full-precision copies. If ``Y`` is already a device array in the storage
+    dtype it is used as-is (zero-copy)."""
+    N, G = Y.shape
+    L = jnp.asarray(L, dtype)
+    log_L_safe = jnp.where(L > 0, jnp.log(jnp.where(L > 0, L, 1.0)), 0.0)
+    zero_cols = (L <= 0).astype(dtype)
+    store = dtype if y_storage is None else y_storage
+    reuse_input = isinstance(Y, jax.Array) and Y.dtype == jnp.dtype(store)
+
+    chunk = _row_chunk_size(N, G)
+    s_parts, lb_parts, B_parts, y_parts = [], [], [], []
+    colsum = jnp.zeros((G,), dtype)
+    ymax = -np.inf
+    max_nonint = 0.0
+    for i in range(0, N, chunk):
+        yc = jnp.asarray(Y[i : i + chunk]).astype(dtype)
+        s, lb, B, cs, mx, ni = _chunk_stats(yc, log_L_safe, zero_cols)
+        s_parts.append(s)
+        lb_parts.append(lb)
+        B_parts.append(B)
+        colsum = colsum + cs
+        ymax = max(ymax, float(mx))
+        max_nonint = max(max_nonint, float(ni))
+        if not reuse_input:
+            y_parts.append(yc.astype(store))
+        del yc
+
+    if y_storage is not None and jnp.issubdtype(jnp.dtype(y_storage), jnp.integer):
+        info = jnp.iinfo(jnp.dtype(y_storage))
+        if ymax > info.max:
+            raise ValueError(
+                f"y_storage={jnp.dtype(y_storage).name} cannot hold the largest "
+                f"count ({ymax:.0f} > {info.max}); use int16/bfloat16/float32"
+            )
+        if max_nonint != 0.0:
+            raise ValueError(
+                "integer y_storage requires integer counts; found fractional values"
+            )
+
+    Yd = Y if reuse_input else (
+        jnp.concatenate(y_parts, axis=0) if len(y_parts) > 1 else y_parts[0]
+    )
+    return ModelData(
+        Y=Yd,
+        L=L,
+        X=None if x is None else jnp.asarray(x, dtype),
+        s=jnp.concatenate(s_parts),
+        log_binom=jnp.concatenate(lb_parts),
+        YlogL=jnp.concatenate(B_parts, axis=0),
+        colsum_Y=colsum,
     )
 
 
@@ -279,6 +368,60 @@ def randomized_pca(X, k: int, key, oversample: int = 8, power_iters: int = 4):
     return scores
 
 
+def _row_blocks(N: int, G: int):
+    chunk = _row_chunk_size(N, G)
+    return [(i, min(i + chunk, N)) for i in range(0, N, chunk)]
+
+
+def _pca_scores_blocked(
+    Y, k: int, key, dtype, oversample: int = 8, power_iters: int = 4
+):
+    """randomized_pca on log2(Y+1) without ever materializing the full
+    standardized N x G matrix: each pass recomputes the per-block
+    ``(log2(y+1) - mean) / sd`` slice from the (narrow-dtype) device Y.
+    Same algorithm and iteration count as :func:`randomized_pca`; used for
+    inputs above ``_CHUNK_ELEMENTS``. The Python block loop unrolls under
+    jit, so XLA frees each block's full-precision slice before the next."""
+    N, G = Y.shape
+    blocks = _row_blocks(N, G)
+    k_eff = min(k + oversample, min(N, G))
+
+    def xb(i, j):
+        return jnp.log2(Y[i:j].astype(dtype) + 1.0)
+
+    total = jnp.zeros((G,), dtype)
+    sumsq = jnp.zeros((G,), dtype)
+    for i, j in blocks:
+        b = xb(i, j)
+        total = total + jnp.sum(b, axis=0)
+        sumsq = sumsq + jnp.sum(b * b, axis=0)
+    mean = total / N
+    var = jnp.maximum(sumsq - N * mean * mean, 0.0) / max(N - 1, 1)
+    sd = jnp.sqrt(var)
+    sd = jnp.where(sd == 0, 1.0, sd)
+
+    def xcb(i, j):
+        return (xb(i, j) - mean[None, :]) / sd[None, :]
+
+    def xc_matmul(M):  # Xc @ M, blocked over rows
+        return jnp.concatenate([xcb(i, j) @ M for i, j in blocks], axis=0)
+
+    def xcT_matmul(Q):  # Xc.T @ Q, blocked over rows
+        acc = jnp.zeros((G, Q.shape[1]), dtype)
+        for i, j in blocks:
+            acc = acc + xcb(i, j).T @ Q[i:j]
+        return acc
+
+    omega = jax.random.normal(key, (G, k_eff), dtype)
+    Q = xc_matmul(omega)
+    for _ in range(power_iters):
+        Q, _ = jnp.linalg.qr(Q)
+        Q, _ = jnp.linalg.qr(xc_matmul(xcT_matmul(Q)))
+    B = xcT_matmul(Q).T  # (k_eff, G)
+    _, _, Vt = jnp.linalg.svd(B, full_matrices=False)
+    return xc_matmul(Vt[:k].T)  # (N, k)
+
+
 def init_params(
     Y,
     L,
@@ -293,24 +436,39 @@ def init_params(
     - psi: PCA of log2(Y+1) (centered+scaled), re-standardized, +N(0,0.05)
     - qmu_loc: inv-softplus of colMeans(Y / rowMeans(Y)) (or ones)
     - everything else zeros
+
+    Above ``_CHUNK_ELEMENTS`` the PCA and mu-guess passes run row-blocked
+    (same algorithm, O(block x G) peak full-precision memory) so the init of
+    a million-cell fit never materializes N x G in the compute dtype.
     """
-    Y = jnp.asarray(Y, dtype)
     N, G = Y.shape
     C = L.shape[1]
+    big = N * G > _CHUNK_ELEMENTS
+    if not big:
+        Y = jnp.asarray(Y, dtype)
     k_pca, k_jitter = jax.random.split(key)
 
     if K > 0:
-        pcs = randomized_pca(jnp.log2(Y + 1.0), K, k_pca)
+        if big:
+            pcs = _pca_scores_blocked(Y, K, k_pca, dtype)
+        else:
+            pcs = randomized_pca(jnp.log2(Y + 1.0), K, k_pca)
         pcs = _standardize(pcs, axis=0)
         pcs = pcs + 0.05 * jax.random.normal(k_jitter, pcs.shape, dtype)
     else:
         pcs = jnp.zeros((N, 0), dtype)
 
     if isinstance(data_init_mu, (bool, np.bool_)):
-        if data_init_mu:
-            mu_guess = jnp.mean(Y / jnp.mean(Y, axis=1, keepdims=True), axis=0)
-        else:
+        if not data_init_mu:
             mu_guess = jnp.ones((G,), dtype)
+        elif big:
+            acc = jnp.zeros((G,), dtype)
+            for i, j in _row_blocks(N, G):
+                yb = Y[i:j].astype(dtype)
+                acc = acc + jnp.sum(yb / jnp.mean(yb, axis=1, keepdims=True), axis=0)
+            mu_guess = acc / N
+        else:
+            mu_guess = jnp.mean(Y / jnp.mean(Y, axis=1, keepdims=True), axis=0)
     else:
         mu_guess = jnp.asarray(data_init_mu, dtype)
         mu_guess = mu_guess / jnp.mean(mu_guess)
@@ -339,6 +497,14 @@ def sample_mu_base(params: CloneAlignParams, key, mc_samples: int):
     return params.qmu_loc[None, :] + jnp.exp(params.qmu_log_scale)[None, :] * eps
 
 
+# Above this many N x G elements the Z contraction runs gene-blocked: the
+# rfe = exp(psi W^T) operand is materialized one gene block at a time (full
+# precision) instead of as one N x G tensor. 2^30 elements = 4 GB at f32 —
+# the 100k x 5k benchmark path (5e8) keeps the single-block fast path; a
+# 1M x 2k fit (2e9, 8 GB rfe) must block to fit 16 GB HBM alongside Y.
+_Z_BLOCK_ELEMENTS = 1 << 30
+
+
 def _compute_Z(params: CloneAlignParams, data: ModelData, mu_samples: jax.Array):
     """Z[s,c,n] = sum_g m[s,g] L[g,c] rfe[n,g] — the per-(sample, clone, cell)
     gene normalizer of the multinomial probabilities
@@ -346,13 +512,22 @@ def _compute_Z(params: CloneAlignParams, data: ModelData, mu_samples: jax.Array)
     K = params.W.shape[1]
     P = params.beta.shape[1]
     N = data.Y.shape[0]
+    G = data.L.shape[0]
     mL = mu_samples[:, None, :] * data.L.T[None, :, :]  # (S, C, G)
     if K > 0 or P > 0:
-        log_rfe = params.psi @ params.W.T
-        if P > 0:
-            log_rfe = log_rfe + data.X @ params.beta.T
-        rfe = jnp.exp(log_rfe)  # (N, G)
-        return jnp.einsum("scg,ng->scn", mL, rfe)
+        def block(sl):
+            log_rfe = params.psi @ params.W[sl].T
+            if P > 0:
+                log_rfe = log_rfe + data.X @ params.beta[sl].T
+            return jnp.einsum("scg,ng->scn", mL[:, :, sl], jnp.exp(log_rfe))
+
+        if N * G > _Z_BLOCK_ELEMENTS:
+            gb = max(128, (_Z_BLOCK_ELEMENTS // max(N, 1)) // 128 * 128)
+            Z = block(slice(0, min(gb, G)))
+            for i in range(gb, G, gb):
+                Z = Z + block(slice(i, min(i + gb, G)))
+            return Z
+        return block(slice(0, G))
     return jnp.sum(mL, axis=2)[:, :, None] * jnp.ones((1, 1, N), mu_samples.dtype)
 
 

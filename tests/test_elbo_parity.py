@@ -110,7 +110,7 @@ def test_gamma_warm_start_shrink_semantics():
     np.testing.assert_allclose(np.asarray(lse), 0.0, atol=1e-8)
 
 
-def _elbo_straightforward(params, data, mu_b, config):
+def _elbo_straightforward(params, data, mu_b, config, extra_log_lik=None):
     """The pre-decomposition ELBO: gamma contracted against the FULL
     per-(clone, cell) log-likelihood from log_p_y_on_c, exactly as the
     reference graph does (reference R/inference-tflow.R:306-336). Used to
@@ -118,7 +118,7 @@ def _elbo_straightforward(params, data, mu_b, config):
     identity for both the value and every gradient."""
     S = config.mc_samples
     mu_samples = mm.softplus(mu_b)
-    p_y = mm.log_p_y_on_c(params, data, mu_b, None, config)
+    p_y = mm.log_p_y_on_c(params, data, mu_b, extra_log_lik, config)
     gamma = jax.nn.softmax(params.gamma_logits, axis=1)
     log_gamma = jax.nn.log_softmax(params.gamma_logits, axis=1)
     E = jnp.mean(p_y, axis=0)
@@ -150,15 +150,24 @@ def _elbo_straightforward(params, data, mu_b, config):
     return EE + Epp - Eq
 
 
-def test_decomposed_elbo_gradients_match_straightforward_form():
+@pytest.mark.parametrize(
+    "K,P,S,with_extra", [(1, 0, 2, False), (0, 0, 1, False), (2, 2, 3, False), (1, 0, 1, True)]
+)
+def test_decomposed_elbo_gradients_match_straightforward_form(K, P, S, with_extra):
     """elbo() pulls the per-cell-constant likelihood terms (log_binom, A1,
     A2 via colsum_Y) out of the gamma contraction. This must be an exact
     identity — softmax rows sum to 1 and per-cell shifts are annihilated by
-    the softmax Jacobian — for the value AND all parameter gradients."""
-    Y, L, X, params, mu_base = _rand_state(K=1, P=0, S=2, seed=7)
-    data = mm.prepare_data(Y, L, dtype=jnp.float64)
-    config = mm.ModelConfig(K=1, P=0, mc_samples=2)
+    the softmax Jacobian — for the value AND all parameter gradients, in
+    every configuration (latent dims, covariates, MC samples, and the
+    allele-specific extra term, which stays inside the contraction)."""
+    Y, L, X, params, mu_base = _rand_state(K=K, P=P, S=S, seed=7 + K + P)
+    data = mm.prepare_data(Y, L, x=X, dtype=jnp.float64)
+    config = mm.ModelConfig(K=K, P=P, mc_samples=S)
     mu_b = jnp.asarray(mu_base)
+    extra = None
+    if with_extra:
+        rng = np.random.default_rng(99)
+        extra = jnp.asarray(rng.normal(-3, 1, (Y.shape[0], L.shape[1])))
 
     import clonealign_tpu.models.multinomial as m
 
@@ -166,12 +175,12 @@ def test_decomposed_elbo_gradients_match_straightforward_form():
     m.sample_mu_base = lambda p, k, s: mu_b
     try:
         v_new, g_new = jax.value_and_grad(
-            lambda p: mm.elbo(p, data, jax.random.PRNGKey(0), config)
+            lambda p: mm.elbo(p, data, jax.random.PRNGKey(0), config, extra)
         )(params)
     finally:
         m.sample_mu_base = orig
     v_ref, g_ref = jax.value_and_grad(
-        lambda p: _elbo_straightforward(p, data, mu_b, config)
+        lambda p: _elbo_straightforward(p, data, mu_b, config, extra)
     )(params)
 
     np.testing.assert_allclose(float(v_new), float(v_ref), rtol=1e-12)

@@ -100,3 +100,74 @@ def test_auto_y_storage_selects_narrowest_exact_dtype():
         np.asarray(auto.ml_params["clone_probs"]),
         np.asarray(explicit.ml_params["clone_probs"]),
     )
+
+
+def test_chunked_prepare_matches_unchunked_exactly():
+    """Above _CHUNK_ELEMENTS prepare_data streams row chunks; every output
+    must be bit-identical to the single-pass path."""
+    import jax.numpy as jnp
+    import numpy as np
+    import clonealign_tpu.models.multinomial as mm
+
+    rng = np.random.default_rng(0)
+    Y = rng.poisson(3.0, (100, 40)).astype(np.float64)
+    Y[0] += 1
+    L = rng.integers(1, 5, (40, 3)).astype(np.float64)
+    ref = mm.prepare_data(Y, L, dtype=jnp.float32, y_storage=jnp.int8)
+    orig = mm._CHUNK_ELEMENTS
+    mm._CHUNK_ELEMENTS = 1000  # force ~25-row chunks
+    try:
+        ch = mm.prepare_data(Y, L, dtype=jnp.float32, y_storage=jnp.int8)
+    finally:
+        mm._CHUNK_ELEMENTS = orig
+    for f in ref._fields:
+        a, b = getattr(ref, f), getattr(ch, f)
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f)
+    # overflow still raises through the chunked path
+    import pytest
+
+    mm._CHUNK_ELEMENTS = 1000
+    try:
+        with pytest.raises(ValueError, match="cannot hold"):
+            mm.prepare_data(Y * 100, L, y_storage=jnp.int8)
+    finally:
+        mm._CHUNK_ELEMENTS = orig
+
+
+def test_blocked_init_and_z_match_unblocked():
+    """The row-blocked PCA/mu-guess init and the gene-blocked Z contraction
+    (large-N memory path) agree with the single-block implementations."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import clonealign_tpu.models.multinomial as mm
+    from clonealign_tpu.synth import simulate_multinomial
+
+    sim = simulate_multinomial(N=120, G=50, C=3, seed=2, mean_total=800)
+    key = jax.random.PRNGKey(5)
+    p_ref = mm.init_params(sim.Y, sim.L, key, K=1, dtype=jnp.float64)
+    data = mm.prepare_data(sim.Y, sim.L, dtype=jnp.float64)
+    mu_b = mm.sample_mu_base(p_ref, jax.random.PRNGKey(7), 1)
+    Z_ref = mm._compute_Z(p_ref, data, mm.softplus(mu_b))
+
+    orig_c, orig_z = mm._CHUNK_ELEMENTS, mm._Z_BLOCK_ELEMENTS
+    mm._CHUNK_ELEMENTS, mm._Z_BLOCK_ELEMENTS = 1500, 2000
+    try:
+        p_blk = mm.init_params(sim.Y, sim.L, key, K=1, dtype=jnp.float64)
+        Z_blk = mm._compute_Z(p_ref, data, mm.softplus(mu_b))
+    finally:
+        mm._CHUNK_ELEMENTS, mm._Z_BLOCK_ELEMENTS = orig_c, orig_z
+
+    # qmu/mu-guess is a pure reordering of sums: near-exact at f64
+    np.testing.assert_allclose(
+        np.asarray(p_blk.qmu_loc), np.asarray(p_ref.qmu_loc), rtol=1e-12
+    )
+    # PCA scores: same randomized algorithm, same draws, blocked matmuls —
+    # agreement to numerical precision (QR/SVD amplify roundoff slightly)
+    np.testing.assert_allclose(
+        np.asarray(jnp.abs(p_blk.psi)), np.asarray(jnp.abs(p_ref.psi)), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(Z_blk), np.asarray(Z_ref), rtol=1e-12)
