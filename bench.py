@@ -34,22 +34,36 @@ def make_synthetic(key, N, G, C, dtype, chunk=10_000, out_dtype=None):
     mu = jnp.exp(jax.random.normal(k2, (G,), dtype) * 0.5)
     z = jax.random.randint(k3, (N,), 0, C)
 
-    chunk = min(chunk, N)
+    # the rejection sampler holds ~8 live copies of the chunk; bound the
+    # chunk by ELEMENTS so wide-G configs don't OOM during generation
+    chunk = min(chunk, N, max(256, 50_000_000 // G))
     n_chunks = -(-N // chunk)
     N_pad = n_chunks * chunk
     z_pad = jnp.pad(z, (0, N_pad - N))
     store = dtype if out_dtype is None else out_dtype
+
+    check_range = jnp.issubdtype(jnp.dtype(store), jnp.integer)
+    limit = jnp.iinfo(jnp.dtype(store)).max if check_range else 0
 
     @jax.jit
     def gen_chunk(k, z_c):
         rates = mu[None, :] * L[:, z_c].T  # (chunk, G)
         rates = rates * (2000.0 / jnp.sum(rates, axis=1, keepdims=True))
         y = jax.random.poisson(k, rates).astype(dtype)
-        return y.at[:, 0].add((jnp.sum(y, axis=1) == 0).astype(dtype)).astype(store)
+        y = y.at[:, 0].add((jnp.sum(y, axis=1) == 0).astype(dtype))
+        return y.astype(store), jnp.max(y)
 
     keys = jax.random.split(k4, n_chunks)
-    parts = [gen_chunk(keys[i], z_pad[i * chunk : (i + 1) * chunk]) for i in range(n_chunks)]
-    Y = jnp.concatenate(parts, axis=0)[:N]
+    parts = []
+    for i in range(n_chunks):
+        yc, mx = gen_chunk(keys[i], z_pad[i * chunk : (i + 1) * chunk])
+        if check_range and float(mx) > limit:
+            raise ValueError(
+                f"narrow out_dtype {jnp.dtype(store).name} would wrap: chunk max "
+                f"{float(mx):.0f} > {limit}"
+            )
+        parts.append(yc)
+    Y = jnp.concatenate(parts, axis=0)[:N] if n_chunks > 1 else parts[0][:N]
     return Y, L, z
 
 

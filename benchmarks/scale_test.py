@@ -39,10 +39,11 @@ def main():
     N, G, C, R = args.cells, args.genes, args.clones, args.restarts
 
     key = jax.random.PRNGKey(0)
-    # counts generated directly in int16 (exact): a 1M x 2k matrix never
-    # exists in f32 (8 GB) on-device; prepare_data narrows to int8 chunked
+    # counts generated directly in int8 (exact; the generator raises if a
+    # count would wrap): a 1M x 2k matrix never exists in f32 (8 GB)
+    # on-device, and prepare_data reuses the int8 array zero-copy
     Y, L, z = make_synthetic(key, N, G, C, jnp.float32, chunk=25_000,
-                             out_dtype=jnp.int16)
+                             out_dtype=jnp.int8)
     ingest = "dense"
     if args.sparse:
         # sparse ingestion path: Y leaves the device as scipy CSR and comes
