@@ -55,6 +55,9 @@ class ExampleSCE:
 
 
 def load_example_sce() -> ExampleSCE:
+    """The bundled example dataset (the reference's lazy-loaded
+    ``example_sce``, reference R/clonealign.R:360-371): 200 cells x 100
+    genes of integer counts plus the A/B/C clone copy-number columns."""
     z = np.load(_data_path("example_sce.npz"), allow_pickle=False)
     return ExampleSCE(
         counts=z["counts"],

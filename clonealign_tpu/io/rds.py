@@ -410,6 +410,7 @@ def read_rda(path: str) -> dict:
 
 
 def read_rds(path: str) -> Any:
+    """Read a single-object ``.rds`` file (R's ``saveRDS`` output)."""
     with open(path, "rb") as fh:
         data = _decompress(fh.read())
     return parse_r_serialized(data)

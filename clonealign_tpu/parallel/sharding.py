@@ -90,6 +90,8 @@ def param_specs(batched: bool = False) -> mm.CloneAlignParams:
 
 
 def param_shardings(mesh: Mesh, batched: bool = False) -> mm.CloneAlignParams:
+    """NamedShardings for the parameter pytree (``batched`` adds a leading
+    replicated restart axis); see :func:`param_specs`."""
     return jax.tree.map(
         lambda s: NamedSharding(mesh, s),
         param_specs(batched),
