@@ -99,6 +99,7 @@ def cmd_fit(args) -> int:
         clone_call_probability=args.clone_call_probability,
         seed=args.seed,
         verbose=not args.quiet,
+        y_storage=None if args.y_storage == "float32" else args.y_storage,
     )
     if args.restarts > 1:
         fit = run_clonealign(
@@ -196,6 +197,12 @@ def main(argv=None) -> int:
     p_fit.add_argument("--learning-rate", type=float, default=0.1)
     p_fit.add_argument("--clone-call-probability", type=float, default=0.95)
     p_fit.add_argument("--seed", type=int, default=0)
+    p_fit.add_argument(
+        "--y-storage", default="auto",
+        choices=["auto", "int8", "int16", "bfloat16", "float32"],
+        help="device storage for the count matrix; 'auto' (default) picks "
+        "the narrowest EXACT integer dtype (docs/performance.md)",
+    )
     p_fit.add_argument("--quiet", action="store_true")
     p_fit.set_defaults(fn=cmd_fit)
 

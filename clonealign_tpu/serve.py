@@ -25,15 +25,37 @@ from . import assign as _assign
 
 @jax.jit
 def _posterior_log_probs(Y, L, mu, log_alpha):
-    """(N_new, C) unnormalized clone log-posteriors for new cells."""
+    """(N_new, C) unnormalized clone log-posteriors for new cells.
+
+    ``Y`` may arrive in a narrow integer dtype (see :func:`assign_cells`) —
+    contractions promote to f32 on the fly."""
     rates = mu[:, None] * L  # (G, C)
     log_rates = jnp.where(rates > 0, jnp.log(jnp.where(rates > 0, rates, 1.0)), -jnp.inf)
     ylogr = Y @ jnp.where(jnp.isfinite(log_rates), log_rates, 0.0)  # (N, C)
-    hits_zero = (Y @ (rates <= 0).astype(Y.dtype)) > 0
+    hits_zero = (Y @ (rates <= 0).astype(jnp.float32)) > 0
     ylogr = jnp.where(hits_zero, -jnp.inf, ylogr)
-    t = jnp.sum(Y, axis=1, keepdims=True)
+    t = jnp.sum(Y.astype(jnp.float32), axis=1, keepdims=True)
     log_Z = jnp.log(jnp.sum(rates, axis=0))[None, :]  # (1, C)
     return log_alpha[None, :] + ylogr - t * log_Z
+
+
+def _narrowest_exact(Y_new):
+    """Host->device transfer dtype: counts are usually small integers, so
+    ship int8/int16 (4x/2x less PCIe traffic than f32) and widen on device;
+    fall back to f32 for fractional or large values."""
+    if Y_new.size == 0:
+        return np.float32
+    if np.issubdtype(Y_new.dtype, np.integer):
+        mx = Y_new.max()
+    elif float(np.max(np.abs(Y_new - np.round(Y_new)))) == 0.0:
+        mx = Y_new.max()
+    else:
+        return np.float32
+    if mx <= np.iinfo(np.int8).max:
+        return np.int8
+    if mx <= np.iinfo(np.int16).max:
+        return np.int16
+    return np.float32
 
 
 def assign_cells(fit, Y_new, copy_number_data=None, clone_call_probability: float = 0.95):
@@ -55,7 +77,7 @@ def assign_cells(fit, Y_new, copy_number_data=None, clone_call_probability: floa
     """
     from .api import _parse_copy_number
 
-    Y_new = np.asarray(Y_new, np.float64)
+    Y_new = np.asarray(Y_new)
     G = len(fit.ml_params["mu"])
     if Y_new.ndim != 2 or Y_new.shape[1] != G:
         raise ValueError(
@@ -72,7 +94,10 @@ def assign_cells(fit, Y_new, copy_number_data=None, clone_call_probability: floa
     log_alpha = jnp.asarray(np.log(alpha / alpha.sum()), jnp.float32)
 
     lp = _posterior_log_probs(
-        jnp.asarray(Y_new, jnp.float32), jnp.asarray(L, jnp.float32), mu, log_alpha
+        jnp.asarray(Y_new.astype(_narrowest_exact(Y_new))),
+        jnp.asarray(L, jnp.float32),
+        mu,
+        log_alpha,
     )
     probs = np.asarray(jax.nn.softmax(lp, axis=1))
     clones = _assign.clone_assignment(probs, fit.clone_names, clone_call_probability)
