@@ -76,14 +76,22 @@ def simulate_multinomial(
     K: int = 1,
     seed: int = 0,
     mean_total: float = 2000.0,
+    clone_probs=None,
 ) -> SyntheticData:
     """Draw from the v2 clonealign model itself
     (vignettes/introduction_to_clonealign.Rmd:51-59): expected counts
     proportional to mu_g * L[g, z_n] * exp(psi_n . w_g), multinomial given
-    per-cell totals."""
+    per-cell totals. ``clone_probs`` optionally skews the ground-truth clone
+    prevalences (default uniform) — used by the parameter-recovery study."""
     rng = np.random.default_rng(seed)
 
-    pi = rng.integers(0, C, N)
+    if clone_probs is None:
+        pi = rng.integers(0, C, N)
+    else:
+        clone_probs = np.asarray(clone_probs, np.float64)
+        if clone_probs.shape != (C,):
+            raise ValueError(f"clone_probs must have shape ({C},)")
+        pi = rng.choice(C, size=N, p=clone_probs / clone_probs.sum())
     mu = rng.lognormal(0.0, 0.5, G)
     L = rng.integers(1, 5, (G, C)).astype(np.float64)
     if K > 0:

@@ -41,3 +41,19 @@ def test_recovers_clones_model3_misspecified():
     fit = clonealign(sim.Y, sim.L, max_iter=100, seed=0, verbose=False)
     acc = assignment_accuracy(fit.clone, fit.clone_names, sim.clone_idx)
     assert acc > 0.9
+
+
+def test_simulate_multinomial_clone_probs():
+    """Skewed ground-truth prevalences (used by the recovery study)."""
+    import numpy as np
+    from clonealign_tpu.synth import simulate_multinomial
+
+    sim = simulate_multinomial(
+        N=4000, G=30, C=3, seed=0, clone_probs=[0.7, 0.2, 0.1]
+    )
+    freq = np.bincount(sim.clone_idx, minlength=3) / 4000
+    np.testing.assert_allclose(freq, [0.7, 0.2, 0.1], atol=0.03)
+    import pytest
+
+    with pytest.raises(ValueError, match="clone_probs"):
+        simulate_multinomial(N=10, G=5, C=3, clone_probs=[0.5, 0.5])
