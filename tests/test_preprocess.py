@@ -67,3 +67,30 @@ def test_disable_flags():
         min_counts_per_cell=0, min_counts_per_gene=0,
     )
     assert res.gene_expression_data.shape[1] == 8
+
+
+def test_preprocess_sparse_matches_dense():
+    """scipy sparse input runs without densification and produces the same
+    retained sets and counts as the dense path (filter order included)."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from clonealign_tpu.synth import simulate_multinomial
+
+    sim = simulate_multinomial(N=300, G=120, C=3, seed=0, mean_total=500)
+    # make some genes/cells filterable
+    Y = sim.Y.copy()
+    Y[:, 5] = 0            # low-count gene
+    Y[7, :] = 0
+    Y[7, 0] = 50           # low-coverage cell
+    L = sim.L.copy()
+    L[3] = 9               # over-max copy number
+    L[10] = 2              # constant CN across clones
+
+    ref = preprocess_for_clonealign(Y, L)
+    out = preprocess_for_clonealign(sp.csr_matrix(Y), L)
+    assert sp.issparse(out.gene_expression_data)
+    np.testing.assert_array_equal(
+        np.asarray(out.gene_expression_data.todense()), ref.gene_expression_data
+    )
+    np.testing.assert_array_equal(out.copy_number_data, ref.copy_number_data)
