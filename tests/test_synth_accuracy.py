@@ -57,3 +57,32 @@ def test_simulate_multinomial_clone_probs():
 
     with pytest.raises(ValueError, match="clone_probs"):
         simulate_multinomial(N=10, G=5, C=3, clone_probs=[0.5, 0.5])
+
+
+@pytest.mark.slow
+def test_statistical_recovery_guard():
+    """Small-scale version of benchmarks/recovery_study.py as a regression
+    net: parameter recovery and posterior calibration must not silently
+    degrade. Thresholds are loose (small N) — failures mean a real change to
+    the inference, not noise."""
+    import numpy as np
+    from clonealign_tpu import clonealign
+    from clonealign_tpu.synth import simulate_multinomial
+
+    sim = simulate_multinomial(
+        N=600, G=200, C=3, seed=0, mean_total=1500, clone_probs=[0.55, 0.3, 0.15]
+    )
+    fit = clonealign(sim.Y, sim.L, max_iter=150, seed=0, verbose=False, y_storage="auto")
+
+    probs = np.asarray(fit.ml_params["clone_probs"])
+    acc = float((probs.argmax(1) == sim.clone_idx).mean())
+    assert acc > 0.98
+
+    mu_fit = np.asarray(fit.ml_params["mu"], np.float64)
+    lf = np.log(mu_fit / mu_fit.mean())
+    lt = np.log(sim.mu / sim.mu.mean())
+    assert float(np.corrcoef(lf, lt)[0, 1]) > 0.98
+
+    alpha = np.asarray(fit.ml_params["alpha"], np.float64)
+    alpha = alpha / alpha.sum()
+    assert float(np.abs(alpha - [0.55, 0.3, 0.15]).sum()) < 0.1
