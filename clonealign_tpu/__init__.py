@@ -24,7 +24,7 @@ from .assign import (
     compute_correlations,
     recompute_clone_assignment,
 )
-from .cnv import cnv_regions_to_genes
+from .cnv import align_expression_to_cnv, cnv_regions_to_genes
 from .fit import ClonealignFit, ConvergenceInfo
 from .preprocess import preprocess_for_clonealign
 from .restarts import run_clonealign
@@ -41,6 +41,7 @@ __all__ = [
     "clone_assignment",
     "compute_correlations",
     "compute_ca_fit_mse",
+    "align_expression_to_cnv",
     "cnv_regions_to_genes",
     "saturate",
     "ClonealignFit",

@@ -128,3 +128,48 @@ def cnv_regions_to_genes(
         gene_ids=[g for g, k in zip(ids, fmask) if k],
         clone_names=clone_names,
     )
+
+
+def align_expression_to_cnv(Y, gene_names, gene_cnv, on_missing: str = "error"):
+    """Subset an expression matrix to a gene-level CNV matrix's genes, in CNV
+    order — the vignette's final manual step ``sce <- sce[rownames(cnv_mat),]``
+    (reference vignettes/preparing_copy_number_data.Rmd:176-185) as a
+    function, so the CNV-prep recipe flows straight into :func:`clonealign`.
+
+    Args:
+      Y: (N, G) counts, dense or scipy sparse, columns ordered by
+        ``gene_names``.
+      gene_names: length-G gene identifiers for Y's columns.
+      gene_cnv: a :class:`GeneCNVMatrix` (from :func:`cnv_regions_to_genes`)
+        or a ``(gene_ids, copy_number)`` pair.
+      on_missing: CNV genes absent from the expression matrix — ``"error"``
+        (like R's subsetting by missing rownames) or ``"drop"`` (drop them
+        from the CNV side too).
+
+    Returns:
+      ``(Y_aligned, L_aligned, gene_ids)`` with matching gene order.
+    """
+    if isinstance(gene_cnv, GeneCNVMatrix):
+        cnv_ids, L = list(gene_cnv.gene_ids), np.asarray(gene_cnv.copy_number)
+    else:
+        cnv_ids, L = list(gene_cnv[0]), np.asarray(gene_cnv[1])
+    if on_missing not in ("error", "drop"):
+        raise ValueError(f"on_missing must be 'error' or 'drop', got {on_missing!r}")
+
+    pos = {g: i for i, g in enumerate(gene_names)}
+    if len(pos) != len(list(gene_names)):
+        raise ValueError("gene_names contains duplicates; disambiguate first")
+    missing = [g for g in cnv_ids if g not in pos]
+    if missing and on_missing == "error":
+        raise ValueError(
+            f"{len(missing)} CNV genes absent from the expression matrix "
+            f"(e.g. {missing[:5]}); pass on_missing='drop' to drop them"
+        )
+    keep = [g for g in cnv_ids if g in pos]
+    if not keep:
+        raise ValueError("no genes in common between expression and CNV data")
+    idx = np.asarray([pos[g] for g in keep])
+    cnv_keep = np.asarray([g in pos for g in cnv_ids])
+
+    Y_sub = Y.tocsc()[:, idx].tocsr() if hasattr(Y, "tocsc") else np.asarray(Y)[:, idx]
+    return Y_sub, L[cnv_keep], keep

@@ -24,6 +24,7 @@ SECTIONS = [
         "clonealign_tpu.preprocess.preprocess_for_clonealign",
         "clonealign_tpu.preprocess.get_outlying_genes",
         "clonealign_tpu.cnv.cnv_regions_to_genes",
+        "clonealign_tpu.cnv.align_expression_to_cnv",
         "clonealign_tpu.api.saturate",
     ]),
     ("Clone calling & QC", [

@@ -142,3 +142,48 @@ def test_vectorized_overlap_matches_bruteforce_oracle():
         if unique:
             row = out.copy_number[kept[ids[gi]]]
             assert list(row) == [hits[c] for c in out.clone_names]
+
+
+def test_align_expression_to_cnv():
+    """The vignette's `sce <- sce[rownames(cnv_mat),]` subsetting step
+    (reference vignettes/preparing_copy_number_data.Rmd:176-185)."""
+    import numpy as np
+    import pytest
+    import scipy.sparse as sp
+
+    from clonealign_tpu.cnv import GeneCNVMatrix, align_expression_to_cnv
+
+    rng = np.random.default_rng(0)
+    genes = [f"g{i}" for i in range(10)]
+    Y = rng.poisson(3, (5, 10)).astype(float)
+    cnv = GeneCNVMatrix(
+        copy_number=np.array([[2, 3], [1, 1], [4, 2]], float),
+        gene_ids=["g7", "g2", "g5"],
+        clone_names=["A", "B"],
+    )
+    Ys, Ls, ids = align_expression_to_cnv(Y, genes, cnv)
+    assert ids == ["g7", "g2", "g5"]
+    np.testing.assert_array_equal(Ys, Y[:, [7, 2, 5]])
+    np.testing.assert_array_equal(Ls, cnv.copy_number)
+
+    # sparse input stays sparse
+    Ys2, _, _ = align_expression_to_cnv(sp.csr_matrix(Y), genes, cnv)
+    assert sp.issparse(Ys2)
+    np.testing.assert_array_equal(np.asarray(Ys2.todense()), Y[:, [7, 2, 5]])
+
+    # missing genes: error by default, droppable on request
+    cnv_bad = GeneCNVMatrix(cnv.copy_number, ["g7", "nope", "g5"], ["A", "B"])
+    with pytest.raises(ValueError, match="absent"):
+        align_expression_to_cnv(Y, genes, cnv_bad)
+    Ys3, Ls3, ids3 = align_expression_to_cnv(Y, genes, cnv_bad, on_missing="drop")
+    assert ids3 == ["g7", "g5"]
+    np.testing.assert_array_equal(Ls3, cnv.copy_number[[0, 2]])
+
+    with pytest.raises(ValueError, match="duplicates"):
+        align_expression_to_cnv(Y, ["g0"] * 10, cnv)
+    with pytest.raises(ValueError, match="common"):
+        align_expression_to_cnv(
+            Y, genes,
+            GeneCNVMatrix(cnv.copy_number, ["x", "y", "z"], ["A", "B"]),
+            on_missing="drop",
+        )
