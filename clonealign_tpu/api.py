@@ -27,21 +27,13 @@ from . import assign as _assign
 from .fit import ClonealignFit, ConvergenceInfo
 from .infer import run_inference
 from .models import multinomial as mm
+from .utils.sparsity import is_scipy_sparse as _is_scipy_sparse
 from .models.allele import construct_ai_likelihood, sanitize_allele_info, snv_clone_probs
 
 
 def saturate(x, threshold=4):
     """Clip copy numbers above threshold (reference R/clonealign.R:394-397)."""
     return np.minimum(np.asarray(x, np.float64), float(threshold))
-
-
-def _is_scipy_sparse(x) -> bool:
-    try:
-        import scipy.sparse as sp
-
-        return sp.issparse(x)
-    except ImportError:  # pragma: no cover
-        return False
 
 
 def _parse_expression(gene_expression_data):

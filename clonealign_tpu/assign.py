@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .utils.sparsity import is_scipy_sparse as _is_scipy_sparse
+
 UNASSIGNED = "unassigned"
 
 
@@ -56,15 +58,6 @@ def compute_ca_fit_mse(fit, Y, L, model_mu: bool = False, random_clones: bool = 
     return float(np.mean((predicted - Y) ** 2))
 
 
-def _is_scipy_sparse(x) -> bool:
-    try:
-        import scipy.sparse as sp
-
-        return sp.issparse(x)
-    except ImportError:  # pragma: no cover
-        return False
-
-
 def compute_correlations(Y, L, clones, clone_names):
     """Per-gene Pearson correlation between expression and the copy number of
     each cell's assigned clone (reference R/clonealign.R:318-334 — which
@@ -78,7 +71,8 @@ def compute_correlations(Y, L, clones, clone_names):
     L = np.asarray(L, np.float64)
     clones = np.asarray([str(c) for c in clones], dtype=object)
     keep = clones != UNASSIGNED
-    Y = Y[keep] if _is_scipy_sparse(Y) else np.asarray(Y, np.float64)[keep]
+    # CSR up front: COO and friends do not support row masking
+    Y = Y.tocsr()[keep] if _is_scipy_sparse(Y) else np.asarray(Y, np.float64)[keep]
     clones = clones[keep]
     M, G = Y.shape
     if M < 2:
@@ -91,7 +85,7 @@ def compute_correlations(Y, L, clones, clone_names):
 
     # per-gene sums of y and y^2, and per-(clone, gene) sums of y
     if _is_scipy_sparse(Y):
-        Y = Y.tocsr().astype(np.float64)
+        Y = Y.astype(np.float64)
         sum_y = np.asarray(Y.sum(axis=0)).ravel()
         sum_y2 = np.asarray(Y.multiply(Y).sum(axis=0)).ravel()
         import scipy.sparse as sp
@@ -99,12 +93,14 @@ def compute_correlations(Y, L, clones, clone_names):
         ind = sp.csr_matrix(
             (np.ones(M), (idx, np.arange(M))), shape=(C, M)
         )
-        S = np.asarray((ind @ Y).todense() if sp.issparse(ind @ Y) else ind @ Y)
+        SY = ind @ Y
+        S = np.asarray(SY.todense() if sp.issparse(SY) else SY)
     else:
         sum_y = Y.sum(axis=0)
         sum_y2 = (Y * Y).sum(axis=0)
-        S = np.zeros((C, G))
-        np.add.at(S, idx, Y)
+        # per-clone row-sums; C is small, so a slice-and-sum per clone beats
+        # np.add.at's unbuffered element-wise loop by ~an order of magnitude
+        S = np.stack([Y[idx == c].sum(axis=0) for c in range(C)])
 
     # x_ng = L[g, clone(n)]: sums aggregate over clones
     sum_x = L @ m  # (G,)

@@ -110,8 +110,10 @@ def cnv_regions_to_genes(
             one = cnt == 1
             hits_cn[g_idx[one], ci] = cn_s[cand[one]]
 
-    # uniquely mapped: exactly one hit per clone (Rmd:144-148)
-    keep = (hit_counts == 1).all(axis=1)
+    # uniquely mapped: exactly one hit per clone (Rmd:144-148), and drop
+    # genes whose matched segment carries a NaN copy number (tidyr::spread
+    # NAs in the reference flow would otherwise leak into the matrix)
+    keep = (hit_counts == 1).all(axis=1) & ~np.isnan(hits_cn).any(axis=1)
 
     mat = hits_cn[keep]
     ids = [g for g, k in zip(gene_ids, keep) if k]

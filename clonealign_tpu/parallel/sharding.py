@@ -138,9 +138,9 @@ def sharded_fit(
         key = jax.random.PRNGKey(0)
     config = config or mm.ModelConfig(K=1, P=0 if x is None else x.shape[1])
 
-    import scipy.sparse as sp
+    from ..utils.sparsity import is_scipy_sparse
 
-    Y_in = Y if sp.issparse(Y) else np.asarray(Y)
+    Y_in = Y if is_scipy_sparse(Y) else np.asarray(Y)
     data = mm.prepare_data(Y_in, np.asarray(L), x=x, dtype=dtype, y_storage=y_storage)
     data = shard_data(data, mesh)
 

@@ -17,6 +17,7 @@ from typing import NamedTuple, Optional
 import numpy as np
 
 from .api import _parse_copy_number, _parse_expression
+from .utils.sparsity import is_scipy_sparse as _is_sparse
 
 
 def mad(x):
@@ -24,15 +25,6 @@ def mad(x):
     constant (reference R/preprocess.R:58-62 calls it on gene means)."""
     x = np.asarray(x, np.float64)
     return 1.4826 * np.median(np.abs(x - np.median(x)))
-
-
-def _is_sparse(Y) -> bool:
-    try:
-        import scipy.sparse as sp
-
-        return sp.issparse(Y)
-    except ImportError:  # pragma: no cover
-        return False
 
 
 def _colsum(Y):

@@ -187,3 +187,20 @@ def test_align_expression_to_cnv():
             GeneCNVMatrix(cnv.copy_number, ["x", "y", "z"], ["A", "B"]),
             on_missing="drop",
         )
+
+
+def test_nan_copy_number_segments_dropped():
+    """Segments with NaN copy number must not leak NaN into the gene matrix
+    (regression: the vectorized rewrite briefly dropped this guard)."""
+    import numpy as np
+
+    from clonealign_tpu.cnv import cnv_regions_to_genes
+
+    res = cnv_regions_to_genes(
+        cnv_chr=["1", "1"], cnv_start=[0, 0], cnv_end=[1000, 1000],
+        cnv_copy_number=[np.nan, 2.0], cnv_clone=["A", "B"],
+        gene_ids=["g1"], gene_chr=["1"], gene_start=[10], gene_end=[20],
+        max_min_copy_number=None, require_varying_copy_number=False,
+    )
+    assert res.gene_ids == []
+    assert not np.isnan(res.copy_number).any()

@@ -46,3 +46,19 @@ def test_zero_variance_expression_nan():
     out = compute_correlations(Y, L, ["A", "B", "B"], ["A", "B"])
     assert np.isnan(out[0])  # constant expression
     assert np.isfinite(out[1])
+
+
+def test_compute_correlations_coo_input():
+    """COO sparse input works (regression: row masking ran before tocsr)."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from clonealign_tpu.assign import compute_correlations
+
+    rng = np.random.default_rng(0)
+    Y = rng.poisson(3, (30, 12)).astype(float)
+    L = rng.integers(1, 5, (12, 3)).astype(float)
+    clones = ["A", "B", "C", "unassigned"] * 7 + ["A", "B"]
+    dense = compute_correlations(Y, L, clones, ["A", "B", "C"])
+    coo = compute_correlations(sp.coo_matrix(Y), L, clones, ["A", "B", "C"])
+    np.testing.assert_allclose(coo, dense, rtol=1e-12, equal_nan=True)
