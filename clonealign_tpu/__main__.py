@@ -18,7 +18,11 @@ import numpy as np
 
 
 def _load_counts(path: str, transpose: bool):
-    """Counts from .mtx[.gz], a CellRanger dir, .npz (key 'counts'), or CSV."""
+    """Counts from .mtx[.gz], a CellRanger dir, .npz (key 'counts'), or CSV.
+
+    ``transpose`` applies to every format (the file is genes x cells);
+    CellRanger directories are already transposed to cells x genes by their
+    loader, so the flag flips that too if a non-standard dir is given."""
     import os
 
     gene_names = cell_names = None
@@ -30,6 +34,7 @@ def _load_counts(path: str, transpose: bool):
         from .io.mtx import read_mtx
 
         Y = read_mtx(path, dense=True, transpose=transpose)
+        transpose = False  # consumed by the reader
     elif path.endswith(".h5ad"):
         from .io.h5 import read_h5ad
 
@@ -49,7 +54,11 @@ def _load_counts(path: str, transpose: bool):
             cell_names = [str(c) for c in z["cell_names"]]
     else:
         Y = np.loadtxt(path, delimiter=",", skiprows=0)
-    return np.asarray(Y, np.float64), gene_names, cell_names
+    Y = np.asarray(Y, np.float64)
+    if transpose:
+        Y = Y.T
+        gene_names, cell_names = cell_names, gene_names
+    return Y, gene_names, cell_names
 
 
 def _load_cnv(path: str):

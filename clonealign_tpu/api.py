@@ -91,14 +91,16 @@ def _parse_copy_number(copy_number_data, G):
             f"gene_expression_data: got {L.shape[0]} vs {G}"
         )
     if clone_names is None:
-        # reference default: clone_a, clone_b, ... (R/clonealign.R:252-254)
-        import string
-
-        letters = string.ascii_lowercase
-        clone_names = [
-            "clone_" + (letters[i] if i < 26 else str(i)) for i in range(L.shape[1])
-        ]
+        clone_names = _default_clone_names(L.shape[1])
     return L, clone_names
+
+
+def _default_clone_names(C: int):
+    """Reference default: clone_a, clone_b, ... (R/clonealign.R:252-254)."""
+    import string
+
+    letters = string.ascii_lowercase
+    return ["clone_" + (letters[i] if i < 26 else str(i)) for i in range(C)]
 
 
 class FitContext:
@@ -117,9 +119,19 @@ def _auto_y_storage(y_values):
     docs/design.md section 2)."""
     if y_values.size == 0:
         return None
-    ymax = float(y_values.max())
-    if float(np.max(np.abs(y_values - np.round(y_values)))) != 0.0:
-        return None  # fractional "counts": keep full precision
+    if np.issubdtype(np.asarray(y_values).dtype, np.integer):
+        ymax = float(y_values.max())
+    else:
+        # chunked integrality scan: no full-size round/abs temporaries (a
+        # dense 100k x 5k f64 input would otherwise allocate ~8 GB extra)
+        flat = np.asarray(y_values).reshape(-1)
+        ymax = 0.0
+        step = 16_777_216
+        for i in range(0, flat.size, step):
+            c = flat[i : i + step]
+            if np.any(c != np.trunc(c)):
+                return None  # fractional "counts": keep full precision
+            ymax = max(ymax, float(c.max()))
     if ymax <= np.iinfo(np.int8).max:
         return jnp.int8
     if ymax <= np.iinfo(np.int16).max:

@@ -17,7 +17,11 @@ def clone_assignment(clone_probs, clone_names, clone_assignment_probability: flo
     probs = np.asarray(clone_probs)
     names = np.asarray(list(clone_names) + [UNASSIGNED], dtype=object)
     best = probs.argmax(axis=1)
-    called = np.where(probs.max(axis=1) < clone_assignment_probability, len(clone_names), best)
+    maxp = probs.max(axis=1)
+    # NaN rows (a diverged fit) must read as unassigned, not clone 0:
+    # `nan < t` is False, so the plain threshold test would pass them through
+    low = ~(maxp >= clone_assignment_probability)
+    called = np.where(low, len(clone_names), best)
     return [str(x) for x in names[called]]
 
 

@@ -69,6 +69,23 @@ class ClonealignFit:
             arrays[f"ml__{k}"] = np.asarray(v)
         if self.clone_probs_from_snv is not None:
             arrays["clone_probs_from_snv"] = np.asarray(self.clone_probs_from_snv)
+        if self.multirun_info is not None:
+            # flat, pickle-free encoding of the sweep QC payload
+            arrays["mr__elbos"] = np.asarray(self.multirun_info["elbos"], np.float64)
+            arrays["mr__median_correlations"] = np.asarray(
+                self.multirun_info["median_correlations"], np.float64
+            )
+            import json as _json
+
+            arrays["mr__prevalences_json"] = np.asarray(
+                _json.dumps(
+                    self.multirun_info["clone_prevalences_at_different_shrinks"]
+                )
+            )
+            arrays["mr__initial_shrinks"] = np.asarray(
+                self.multirun_info["initial_shrinks"], np.float64
+            )
+            arrays["mr__best_run"] = np.asarray(self.multirun_info["best_run"])
         np.savez_compressed(path, **arrays)
 
     @classmethod
@@ -90,4 +107,21 @@ class ClonealignFit:
             clone_probs_from_snv=(
                 z["clone_probs_from_snv"] if "clone_probs_from_snv" in z.files else None
             ),
+            multirun_info=cls._load_multirun_info(z),
         )
+
+    @staticmethod
+    def _load_multirun_info(z):
+        if "mr__elbos" not in z.files:
+            return None
+        import json as _json
+
+        return {
+            "elbos": z["mr__elbos"],
+            "clone_prevalences_at_different_shrinks": _json.loads(
+                str(z["mr__prevalences_json"])
+            ),
+            "median_correlations": z["mr__median_correlations"],
+            "initial_shrinks": z["mr__initial_shrinks"],
+            "best_run": int(z["mr__best_run"]),
+        }

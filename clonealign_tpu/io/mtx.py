@@ -203,8 +203,11 @@ def _py_read_header(path):
 
 def _py_read_mtx(path, dense=True, transpose=False):
     rows, cols, nnz, pattern, symmetric = _py_read_header(path)
+    # pattern files: 3-column dims line followed by 2-column entries would
+    # make loadtxt raise on the ragged widths — read only the shared columns
     data = np.loadtxt(
         _py_open(path), skiprows=0, comments="%", ndmin=2,
+        usecols=(0, 1) if pattern else None,
     )
     data = data[1:]  # drop dims line (first non-comment row)
     ri = data[:, 0].astype(np.int64) - 1

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def beta_binomial_log_prob(k, n, alpha, beta):
@@ -69,4 +70,14 @@ def sanitize_allele_info(clone_allele, cov, ref, n_cells, n_clones):
             raise ValueError(f"{name} must have {n_cells} rows (cells), got {m.shape[0]}")
         if m.shape[1] != V:
             raise ValueError(f"{name} must have {V} columns (variants), got {m.shape[1]}")
+        if (np.asarray(m) < 0).any():
+            raise ValueError(f"{name} must be non-negative counts")
+    # alt = cov - ref must be non-negative; ref > cov means the ref/cov slots
+    # were swapped (or alt counts were passed as ref) and would silently
+    # corrupt the beta-binomial log-likelihood with lgamma of negatives
+    if (np.asarray(ref) > np.asarray(cov)).any():
+        raise ValueError(
+            "ref counts exceed cov at some (cell, variant): cov must be the "
+            "TOTAL coverage and ref the reference-allele subset of it"
+        )
     return V

@@ -739,6 +739,9 @@ def gamma_warm_start_logits(
     """
     mu_base = sample_mu_base(params, key, config.mc_samples)
     p_y = log_p_y_on_c(params, data, mu_base, extra_log_lik, config)  # (S, C, N)
+    # SUM over MC samples, not mean — deliberately matching the reference's
+    # tf$reduce_sum(p_y_on_c, axis=0) (reference R/inference-tflow.R:337);
+    # the subsequent logsumexp normalization absorbs per-cell scale anyway.
     g = jnp.sum(p_y, axis=0)  # (C, N)
     impossible = jnp.isneginf(g)  # zero-CN clone at an expressed gene
     g = g - jax.scipy.special.logsumexp(g, axis=0, keepdims=True)

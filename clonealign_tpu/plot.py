@@ -175,15 +175,21 @@ def plot_clonealign(
     rng = np.random.default_rng(0) if rng is None else rng
 
     if hasattr(cnv_data, "columns") and hasattr(cnv_data, "values"):
-        clone_names = [str(c) for c in cnv_data.columns]
+        parsed_names = [str(c) for c in cnv_data.columns]
         cnv = np.asarray(cnv_data.values, np.float64)
     elif isinstance(cnv_data, dict):
-        clone_names = [str(c) for c in cnv_data.keys()]
+        parsed_names = [str(c) for c in cnv_data.keys()]
         cnv = np.stack([np.asarray(v, np.float64) for v in cnv_data.values()], axis=1)
     else:
         cnv = np.asarray(cnv_data, np.float64)
-        if clone_names is None:
-            clone_names = [f"clone_{i}" for i in range(cnv.shape[1])]
+        # default naming must MATCH the fit API's (clone_a, clone_b, ... —
+        # api._default_clone_names), or a bare-array fit's clone labels never
+        # match the plot's series and every panel silently comes up empty
+        from .api import _default_clone_names
+
+        parsed_names = _default_clone_names(cnv.shape[1])
+    if clone_names is None:
+        clone_names = parsed_names
 
     logcounts = np.asarray(logcounts, np.float64)
     gene_chr = np.asarray([str(c) for c in gene_chr])

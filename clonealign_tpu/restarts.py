@@ -160,7 +160,15 @@ def run_clonealign(
     if print_elbos and verbose:
         print("ELBOs: ", " ".join(str(e) for e in final_elbos))
 
-    best = int(np.argmax(final_elbos))
+    # NaN-safe best: np.argmax would select a diverged (NaN) lane over all
+    # finite ones. All-NaN mirrors the reference's NA-initial-ELBO hard error
+    # (reference R/inference-tflow.R:372-376).
+    if np.isnan(final_elbos).all():
+        raise ValueError(
+            "All restarts produced NaN ELBOs — inference diverged; try a "
+            "lower learning_rate"
+        )
+    best = int(np.nanargmax(final_elbos))
     best_result = jax.tree.map(lambda a: a[best], results)
 
     fit = _package_fit(

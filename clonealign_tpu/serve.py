@@ -58,7 +58,14 @@ def _narrowest_exact(Y_new):
     return np.float32
 
 
-def assign_cells(fit, Y_new, copy_number_data=None, clone_call_probability: float = 0.95):
+def assign_cells(
+    fit,
+    Y_new,
+    copy_number_data=None,
+    clone_call_probability: float = 0.95,
+    saturate: bool = True,
+    saturation_threshold: float = 6,
+):
     """Assign new cells to clones using a fitted model's parameters.
 
     Args:
@@ -71,6 +78,9 @@ def assign_cells(fit, Y_new, copy_number_data=None, clone_call_probability: floa
         threshold). Required because the fit object stores parameters, not
         the data.
       clone_call_probability: threshold for the "unassigned" fallback.
+      saturate / saturation_threshold: MUST match the settings the model was
+        fitted with (defaults mirror the fit API's defaults) so serving
+        scores against the same saturated L the fit saw.
 
     Returns:
       (clones, clone_probs): list of labels and the (N_new, C) posterior.
@@ -87,7 +97,8 @@ def assign_cells(fit, Y_new, copy_number_data=None, clone_call_probability: floa
     if copy_number_data is None:
         raise ValueError("copy_number_data (genes x clones, over retained_genes) is required")
     L, _names = _parse_copy_number(copy_number_data, G)
-    L = np.minimum(L, 6.0)  # reference saturation default
+    if saturate:
+        L = np.minimum(L, float(saturation_threshold))
 
     mu = jnp.asarray(fit.ml_params["mu"], jnp.float32)
     alpha = np.asarray(fit.ml_params["alpha"], np.float64)

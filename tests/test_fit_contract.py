@@ -102,3 +102,34 @@ def test_covariates_and_mc_samples(sce):
     )
     assert cal.ml_params["beta"].shape == (len(cal.retained_genes), 2)
     assert np.isfinite(cal.convergence_info.final_elbo)
+
+
+def test_clone_assignment_nan_rows_unassigned():
+    """NaN probability rows (a diverged fit) must read unassigned, not
+    silently land on clone 0."""
+    import numpy as np
+
+    from clonealign_tpu.assign import clone_assignment
+
+    probs = np.array([[0.99, 0.005, 0.005], [np.nan, np.nan, np.nan]])
+    out = clone_assignment(probs, ["A", "B", "C"], 0.95)
+    assert out == ["A", "unassigned"]
+
+
+def test_allele_ref_exceeding_cov_raises():
+    """ref > cov would produce negative alt counts and silently corrupt the
+    beta-binomial likelihood; it must raise instead."""
+    import numpy as np
+    import pytest
+
+    from clonealign_tpu import clonealign
+    from clonealign_tpu.synth import simulate_multinomial
+
+    sim = simulate_multinomial(N=20, G=15, C=3, seed=0, mean_total=300)
+    rng = np.random.default_rng(0)
+    ca = rng.integers(1, 3, (4, 3)).astype(float)
+    cov = rng.integers(1, 5, (20, 4)).astype(float)
+    ref = cov + 1  # impossible: more ref reads than coverage
+    with pytest.raises(ValueError, match="cov must be the"):
+        clonealign(sim.Y, sim.L, clone_allele=ca, cov=cov, ref=ref,
+                   max_iter=2, verbose=False)

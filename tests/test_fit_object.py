@@ -57,3 +57,31 @@ def test_compute_ca_fit_mse(fit):
     rng = np.random.default_rng(0)
     mse_rand = compute_ca_fit_mse(f_all, sim.Y, sim.L, random_clones=True, rng=rng)
     assert mse_rand >= mse * 0.9
+
+
+def test_save_load_preserves_multirun_info(tmp_path):
+    """run_clonealign fits keep the sweep QC payload across save/load
+    (regression: it was silently dropped)."""
+    import numpy as np
+
+    from clonealign_tpu import run_clonealign
+    from clonealign_tpu.fit import ClonealignFit
+    from clonealign_tpu.synth import simulate_multinomial
+
+    sim = simulate_multinomial(N=40, G=30, C=3, seed=1, mean_total=400)
+    fit = run_clonealign(
+        sim.Y, sim.L, initial_shrinks=[0, 5], n_repeats=1, max_iter=5,
+        verbose=False, print_elbos=False,
+    )
+    p = str(tmp_path / "fit.npz")
+    fit.save(p)
+    loaded = ClonealignFit.load(p)
+    assert loaded.multirun_info is not None
+    np.testing.assert_allclose(
+        loaded.multirun_info["elbos"], fit.multirun_info["elbos"]
+    )
+    assert loaded.multirun_info["best_run"] == fit.multirun_info["best_run"]
+    assert (
+        loaded.multirun_info["clone_prevalences_at_different_shrinks"]
+        == fit.multirun_info["clone_prevalences_at_different_shrinks"]
+    )

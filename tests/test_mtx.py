@@ -130,3 +130,25 @@ def test_large_parallel_path(tmp_path):
     assert out.shape == (rows, cols)
     assert out.sum() == vv.sum()
     assert out[ri[0], ci[0]] == vv[0]
+
+
+def test_pattern_mtx_python_fallback(tmp_path, monkeypatch):
+    """Coordinate-pattern files (2-column entries) read correctly through
+    the pure-Python fallback (regression: ragged loadtxt crash)."""
+    import numpy as np
+
+    monkeypatch.setenv("CLONEALIGN_TPU_NO_NATIVE", "1")
+    from clonealign_tpu.io.mtx import read_mtx
+
+    p = tmp_path / "pat.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate pattern general\n"
+        "3 4 3\n"
+        "1 1\n"
+        "2 3\n"
+        "3 4\n"
+    )
+    Y = read_mtx(str(p), dense=True)
+    expect = np.zeros((3, 4))
+    expect[0, 0] = expect[1, 2] = expect[2, 3] = 1
+    np.testing.assert_array_equal(Y, expect)

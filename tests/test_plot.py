@@ -86,3 +86,28 @@ def test_plot_adata_wrapper():
         plot_clonealign_adata(adata, clones, cnv_cols=["A", "B"], chr_str="nope")
     with pytest.raises(ValueError, match="cnv_cols"):
         plot_clonealign_adata(adata, clones, cnv_cols=["A", "Z"])
+
+
+def test_plot_default_clone_names_match_fit_api():
+    """A bare-array fit labels cells clone_a/clone_b; the plot's defaults
+    must match or every series silently renders empty (regression)."""
+    import numpy as np
+
+    from clonealign_tpu import clonealign
+    from clonealign_tpu.plot import plot_clonealign
+    from clonealign_tpu.synth import simulate_multinomial
+
+    sim = simulate_multinomial(N=40, G=30, C=3, seed=3, mean_total=400)
+    fit = clonealign(sim.Y, sim.L, max_iter=5, verbose=False)
+    assert set(fit.clone) <= {"clone_a", "clone_b", "clone_c", "unassigned"}
+    G = 30
+    fig = plot_clonealign(
+        np.log1p(sim.Y), fit.clone, sim.L,
+        gene_chr=["1"] * G, gene_start=np.arange(G) * 100,
+        gene_end=np.arange(G) * 100 + 50, chromosome="1",
+    )
+    # at least one RNA point must have been drawn for an assigned clone
+    ax_rna = fig.axes[0]
+    assert any(len(c.get_offsets()) > 0 for c in ax_rna.collections), (
+        "RNA track is empty — clone-name defaults diverged from the fit API"
+    )
