@@ -35,7 +35,12 @@ def _load_native():
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
+        src = os.path.join(_NATIVE_DIR, "src", "mtx_reader.cpp")
+        stale = not os.path.exists(_LIB_PATH) or (
+            os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+        )
+        if stale:
             try:
                 subprocess.run(
                     ["make", "-C", _NATIVE_DIR],
@@ -85,16 +90,11 @@ def _err_buf():
 
 
 def read_mtx_info(path: str):
-    """(rows, cols, nnz) from the header."""
-    lib = _load_native()
-    if lib is not None:
-        r = ctypes.c_int64()
-        c = ctypes.c_int64()
-        n = ctypes.c_int64()
-        err = _err_buf()
-        if lib.mtx_read_info(path.encode(), ctypes.byref(r), ctypes.byref(c), ctypes.byref(n), err):
-            raise ValueError(f"mtx_read_info({path}): {err.value.decode()}")
-        return r.value, c.value, n.value
+    """(rows, cols, nnz) exactly as declared by the header.
+
+    (The native mtx_read_info doubles nnz for symmetric files — it is an
+    ALLOCATION bound used internally by read_mtx — so the public API always
+    parses the header in Python for a consistent answer.)"""
     return _py_read_header(path)[:3]
 
 
@@ -193,16 +193,22 @@ def _py_read_header(path):
         lower = banner.lower()
         if "coordinate" not in lower:
             raise ValueError("only coordinate (sparse) MatrixMarket supported")
+        if "complex" in lower or "hermitian" in lower:
+            # four-column complex entries would misalign the token stream
+            raise ValueError("complex/hermitian MatrixMarket not supported")
         pattern = "pattern" in lower
-        symmetric = any(s in lower for s in ("symmetric", "hermitian", "skew"))
+        skew = "skew" in lower
+        symmetric = "symmetric" in lower or skew
         for line in fh:
             if not line.startswith("%") and line.strip():
                 rows, cols, nnz = (int(x) for x in line.split()[:3])
-                return rows, cols, nnz, pattern, symmetric
+                if symmetric and rows != cols:
+                    raise ValueError("symmetric matrix must be square")
+                return rows, cols, nnz, pattern, symmetric, skew
 
 
 def _py_read_mtx(path, dense=True, transpose=False):
-    rows, cols, nnz, pattern, symmetric = _py_read_header(path)
+    rows, cols, nnz, pattern, symmetric, skew = _py_read_header(path)
     # pattern files: 3-column dims line followed by 2-column entries would
     # make loadtxt raise on the ragged widths — read only the shared columns
     data = np.loadtxt(
@@ -215,10 +221,11 @@ def _py_read_mtx(path, dense=True, transpose=False):
     vv = data[:, 2] if not pattern and data.shape[1] > 2 else np.ones(len(ri))
     if symmetric:
         off = ri != ci
+        mirror = -1.0 if skew else 1.0  # skew-symmetric mirrors with -v
         ri, ci, vv = (
             np.concatenate([ri, ci[off]]),
             np.concatenate([ci, ri[off]]),
-            np.concatenate([vv, vv[off]]),
+            np.concatenate([vv, mirror * vv[off]]),
         )
     if (ri >= rows).any() or (ci >= cols).any():
         raise ValueError("entry index out of declared bounds")

@@ -35,6 +35,7 @@ namespace {
 struct Header {
   bool pattern = false;  // "pattern" matrices have no value column
   bool symmetric = false;
+  bool skew = false;  // skew-symmetric: mirror with -v
   int64_t rows = 0, cols = 0, nnz = 0;
   size_t data_offset = 0;  // byte offset where triplets start (plain files)
 };
@@ -72,10 +73,16 @@ bool parse_header(const char* buf, size_t len, Header* h, char* err) {
       set_error(err, "only coordinate (sparse) MatrixMarket supported");
       return false;
     }
+    if (lower.find("complex") != std::string::npos ||
+        lower.find("hermitian") != std::string::npos) {
+      // complex entries have FOUR columns; parsing them as triplets would
+      // silently misalign the token stream
+      set_error(err, "complex/hermitian MatrixMarket not supported");
+      return false;
+    }
     h->pattern = lower.find("pattern") != std::string::npos;
-    h->symmetric = lower.find("symmetric") != std::string::npos ||
-                   lower.find("hermitian") != std::string::npos ||
-                   lower.find("skew") != std::string::npos;
+    h->skew = lower.find("skew") != std::string::npos;
+    h->symmetric = lower.find("symmetric") != std::string::npos || h->skew;
   }
   // skip comment lines
   while (next_line(&line)) {
@@ -90,8 +97,29 @@ bool parse_header(const char* buf, size_t len, Header* h, char* err) {
     set_error(err, "negative dimensions");
     return false;
   }
+  if (h->symmetric && h->rows != h->cols) {
+    set_error(err, "symmetric matrix must be square");
+    return false;
+  }
   h->data_offset = pos;
   return true;
+}
+
+// Lock-free accumulate for concurrent duplicate coordinates (the spec says
+// entries are unique, but scipy tolerates duplicates by summing — so must we).
+inline void atomic_add_double(double* p, double v) {
+  auto* a = reinterpret_cast<std::atomic<uint64_t>*>(p);
+  uint64_t old_bits = a->load(std::memory_order_relaxed);
+  for (;;) {
+    double od;
+    std::memcpy(&od, &old_bits, sizeof(double));
+    const double nv = od + v;
+    uint64_t new_bits;
+    std::memcpy(&new_bits, &nv, sizeof(double));
+    if (a->compare_exchange_weak(old_bits, new_bits,
+                                 std::memory_order_relaxed))
+      return;
+  }
 }
 
 // Parse triplets from [begin, end); calls emit(row0, col0, value).
@@ -273,13 +301,16 @@ int mtx_read_triplets(const char* path, int64_t* row_idx, int64_t* col_idx,
 
   const char* body = data + h.data_offset;
   const char* end = data + len;
-  std::atomic<int64_t> cursor{0};
   std::atomic<bool> failed{false};
+  std::atomic<bool> oob{false};
 
   int nt = n_threads_for(static_cast<size_t>(end - body));
   auto chunks = chunk_lines(body, end, nt);
 
-  // Pass 1 per chunk: count entries; then scatter with prefix offsets.
+  // Two-pass concurrency contract: pass 1 counts each chunk's ACTUAL
+  // entries; exclusive prefix sums give each chunk a disjoint destination
+  // range, so pass 2 scatters with no synchronization. (Symmetric files
+  // reserve 2x per entry; the tail gap per chunk is compacted afterwards.)
   std::vector<int64_t> counts(chunks.size(), 0);
   {
     std::vector<std::thread> threads;
@@ -302,7 +333,16 @@ int mtx_read_triplets(const char* path, int64_t* row_idx, int64_t* col_idx,
   std::vector<int64_t> offsets(chunks.size() + 1, 0);
   for (size_t i = 0; i < chunks.size(); i++)
     offsets[i + 1] = offsets[i] + counts[i];
+  // capacity must cover the ACTUAL parsed entries, not the header's claim —
+  // a body with more lines than the declared nnz must not overrun the
+  // caller's arrays
+  if (offsets.back() > cap) {
+    set_error(err, "file contains more entries than the header declares");
+    return 1;
+  }
 
+  const int64_t R = h.rows, C = h.cols;
+  const double mirror = h.skew ? -1.0 : 1.0;
   std::vector<int64_t> written(chunks.size(), 0);
   {
     std::vector<std::thread> threads;
@@ -312,6 +352,10 @@ int mtx_read_triplets(const char* path, int64_t* row_idx, int64_t* col_idx,
         int64_t c = parse_triplets(
             chunks[i].first, chunks[i].second, h.pattern,
             [&](int64_t r, int64_t cc, double v) {
+              if (r >= R || cc >= C) {
+                oob.store(true);
+                return;
+              }
               row_idx[w] = r;
               col_idx[w] = cc;
               vals[w] = v;
@@ -319,7 +363,7 @@ int mtx_read_triplets(const char* path, int64_t* row_idx, int64_t* col_idx,
               if (h.symmetric && r != cc) {
                 row_idx[w] = cc;
                 col_idx[w] = r;
-                vals[w] = v;
+                vals[w] = mirror * v;
                 w++;
               }
             });
@@ -331,6 +375,10 @@ int mtx_read_triplets(const char* path, int64_t* row_idx, int64_t* col_idx,
   }
   if (failed.load()) {
     set_error(err, "malformed triplet entry");
+    return 1;
+  }
+  if (oob.load()) {
+    set_error(err, "entry index out of declared bounds");
     return 1;
   }
   // compact gaps left by symmetric worst-case reservation
@@ -346,7 +394,6 @@ int mtx_read_triplets(const char* path, int64_t* row_idx, int64_t* col_idx,
     total += written[i];
   }
   *out_nnz = total;
-  (void)cursor;
   return 0;
 }
 
@@ -368,17 +415,24 @@ int mtx_read_dense(const char* path, double* out, int transpose, char* err) {
   std::atomic<bool> oob{false};
 
   const int64_t R = h.rows, C = h.cols;
-  // threads scatter to disjoint... not guaranteed (duplicates); use atomics?
-  // counts are typically unique (r,c); races only matter for duplicate
-  // coordinates, which MatrixMarket "general" files do not produce. To stay
-  // safe under duplicates across chunks we serialize on a per-thread basis
-  // only when the file declares "general": scatter races on distinct (r,c)
-  // never alias, and within a chunk parsing is sequential.
+  const double mirror = h.skew ? -1.0 : 1.0;
   int nt = n_threads_for(static_cast<size_t>(end - body));
   auto chunks = chunk_lines(body, end, nt);
+  // Duplicate (r, c) coordinates may land in different chunks, so the
+  // multi-threaded scatter accumulates with a lock-free CAS add (documented
+  // behavior: duplicates accumulate). Single-chunk files take the plain-add
+  // path. Note symmetric implies R == C (parse_header), so the mirror index
+  // cc*C+r is correct in both orientations.
+  const bool atomic = chunks.size() > 1;
   std::vector<std::thread> threads;
   for (auto& ch : chunks) {
     threads.emplace_back([&, ch] {
+      auto add = [&](int64_t i, double v) {
+        if (atomic)
+          atomic_add_double(out + i, v);
+        else
+          out[i] += v;
+      };
       int64_t c = parse_triplets(
           ch.first, ch.second, h.pattern, [&](int64_t r, int64_t cc, double v) {
             if (r >= R || cc >= C) {
@@ -386,11 +440,11 @@ int mtx_read_dense(const char* path, double* out, int transpose, char* err) {
               return;
             }
             if (transpose) {
-              out[cc * R + r] += v;
-              if (h.symmetric && r != cc) out[r * C + cc] += v;
+              add(cc * R + r, v);
+              if (h.symmetric && r != cc) add(r * C + cc, mirror * v);
             } else {
-              out[r * C + cc] += v;
-              if (h.symmetric && r != cc) out[cc * R + r] += v;
+              add(r * C + cc, v);
+              if (h.symmetric && r != cc) add(cc * C + r, mirror * v);
             }
           });
       if (c < 0) failed.store(true);

@@ -152,3 +152,93 @@ def test_pattern_mtx_python_fallback(tmp_path, monkeypatch):
     expect = np.zeros((3, 4))
     expect[0, 0] = expect[1, 2] = expect[2, 3] = 1
     np.testing.assert_array_equal(Y, expect)
+
+
+def _write(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+def test_lying_header_rejected_not_overflowed(tmp_path):
+    """A body with more entries than the declared nnz must raise, not write
+    past the caller-allocated triplet arrays (native heap-overflow fix)."""
+    import pytest
+
+    from clonealign_tpu.io.mtx import read_mtx
+
+    p = _write(
+        tmp_path, "lie.mtx",
+        "%%MatrixMarket matrix coordinate integer general\n"
+        "3 3 1\n" + "".join(f"{1 + i % 3} {1 + (i // 3) % 3} 1\n" for i in range(50)),
+    )
+    with pytest.raises(ValueError):
+        read_mtx(p, dense=False)
+
+
+def test_out_of_bounds_triplets_raise(tmp_path):
+    """Indices beyond the declared dims raise on BOTH dense and COO paths."""
+    import pytest
+
+    from clonealign_tpu.io.mtx import read_mtx
+
+    p = _write(
+        tmp_path, "oob.mtx",
+        "%%MatrixMarket matrix coordinate integer general\n3 3 1\n9 9 5\n",
+    )
+    with pytest.raises(ValueError):
+        read_mtx(p, dense=True)
+    with pytest.raises(ValueError):
+        read_mtx(p, dense=False)
+
+
+def test_skew_symmetric_mirrors_negated(tmp_path):
+    import numpy as np
+
+    from clonealign_tpu.io.mtx import read_mtx
+
+    p = _write(
+        tmp_path, "skew.mtx",
+        "%%MatrixMarket matrix coordinate real skew-symmetric\n"
+        "3 3 1\n3 1 2.5\n",
+    )
+    Y = read_mtx(p, dense=True)
+    assert Y[2, 0] == 2.5 and Y[0, 2] == -2.5
+
+
+def test_complex_files_rejected(tmp_path):
+    import pytest
+
+    from clonealign_tpu.io.mtx import read_mtx
+
+    p = _write(
+        tmp_path, "cplx.mtx",
+        "%%MatrixMarket matrix coordinate complex general\n2 2 1\n1 1 2 3\n",
+    )
+    with pytest.raises(ValueError, match="complex"):
+        read_mtx(p, dense=True)
+
+
+def test_duplicate_coordinates_accumulate(tmp_path):
+    import numpy as np
+
+    from clonealign_tpu.io.mtx import read_mtx
+
+    p = _write(
+        tmp_path, "dup.mtx",
+        "%%MatrixMarket matrix coordinate integer general\n"
+        "2 2 4\n1 1 1\n1 1 2\n2 2 3\n1 1 4\n",
+    )
+    Y = read_mtx(p, dense=True)
+    np.testing.assert_array_equal(Y, [[7, 0], [0, 3]])
+
+
+def test_read_mtx_info_consistent_for_symmetric(tmp_path):
+    """read_mtx_info returns the header's nnz regardless of backend."""
+    from clonealign_tpu.io.mtx import read_mtx_info
+
+    p = _write(
+        tmp_path, "sym.mtx",
+        "%%MatrixMarket matrix coordinate real symmetric\n3 3 2\n2 1 1.0\n3 2 4.0\n",
+    )
+    assert read_mtx_info(p) == (3, 3, 2)
