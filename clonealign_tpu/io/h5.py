@@ -39,14 +39,19 @@ def _read_names(h5, group_name, fallback_n):
     """Extract the index column of an AnnData obs/var group."""
     if group_name not in h5:
         return [str(i) for i in range(fallback_n)]
+    import h5py
+
     g = h5[group_name]
     index_col = g.attrs.get("_index", "index")
     if isinstance(index_col, bytes):
         index_col = index_col.decode()
-    if index_col in g:
-        return _decode(g[index_col][:])
-    # pre-0.7 anndata: obs/var stored as a structured dataset
-    if hasattr(g, "dtype") and g.dtype.names and "index" in g.dtype.names:
+    # membership tests on a DATASET iterate+compare rows (and crash on
+    # structured dtypes), so branch on the container type first
+    if isinstance(g, h5py.Group):
+        if index_col in g:
+            return _decode(g[index_col][:])
+    elif g.dtype.names and "index" in g.dtype.names:
+        # pre-0.7 anndata: obs/var stored as a structured dataset
         return _decode(g["index"])
     return [str(i) for i in range(fallback_n)]
 
@@ -65,7 +70,15 @@ def read_h5ad(path: str, layer: str = None) -> CountMatrix:
             raise ValueError(f"{key!r} not found in {path}")
         X = f[key]
         if isinstance(X, h5py.Group):
-            shape = tuple(X.attrs["shape"]) if "shape" in X.attrs else tuple(f.attrs["shape"])
+            for attr_src, attr in ((X.attrs, "shape"), (X.attrs, "h5sparse_shape"), (f.attrs, "shape")):
+                if attr in attr_src:
+                    shape = tuple(attr_src[attr])
+                    break
+            else:
+                raise ValueError(
+                    f"sparse group {key!r} has no shape attribute "
+                    "(looked for 'shape' and legacy 'h5sparse_shape')"
+                )
             counts = _sparse_group_to_dense(X, shape)
         else:
             counts = X[:]

@@ -205,6 +205,7 @@ def _py_read_header(path):
                 if symmetric and rows != cols:
                     raise ValueError("symmetric matrix must be square")
                 return rows, cols, nnz, pattern, symmetric, skew
+        raise ValueError("malformed MatrixMarket file: no dimensions line")
 
 
 def _py_read_mtx(path, dense=True, transpose=False):
@@ -227,7 +228,9 @@ def _py_read_mtx(path, dense=True, transpose=False):
             np.concatenate([ci, ri[off]]),
             np.concatenate([vv, mirror * vv[off]]),
         )
-    if (ri >= rows).any() or (ci >= cols).any():
+    # lower bound too: a 1-based index of 0 (parsed to -1) would WRAP via
+    # negative numpy indexing and silently scatter to the last row/column
+    if (ri < 0).any() or (ci < 0).any() or (ri >= rows).any() or (ci >= cols).any():
         raise ValueError("entry index out of declared bounds")
     if transpose:
         ri, ci = ci, ri

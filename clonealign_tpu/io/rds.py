@@ -238,7 +238,6 @@ class _Reader:
         if ptype == LGLSXP:
             n = self._length()
             raw = np.frombuffer(self._bytes(4 * n), dtype=">i4").astype(np.int32)
-            arr = raw.astype(object)
             arr = np.where(raw == R_NA_INT, None, raw != 0)
             return self._with_attrs(np.asarray(arr), has_attr)
         if ptype == INTSXP:
@@ -355,9 +354,7 @@ class _Reader:
             st = state.value if isinstance(state, RObj) else state
             n, start, step = int(st[0]), st[1], st[2]
             dtype = np.int32 if cls_name == "compact_intseq" else np.float64
-            return RObj(np.arange(n, dtype=np.float64) * step + start).__class__(
-                (np.arange(n, dtype=np.float64) * step + start).astype(dtype)
-            )
+            return RObj((np.arange(n, dtype=np.float64) * step + start).astype(dtype))
         if cls_name in ("wrap_real", "wrap_integer", "wrap_logical", "wrap_string", "wrap_raw"):
             # state: list(wrapped, metadata)
             st = state.value if isinstance(state, RObj) else state

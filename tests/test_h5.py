@@ -118,3 +118,46 @@ def test_10x_h5_legacy_per_genome_group(tmp_path, dense):
     cm = read_10x_h5(p)
     np.testing.assert_array_equal(cm.counts, dense)
     assert cm.gene_names[1] == "ENSG1"
+
+
+def test_h5ad_structured_dataset_obs_var(tmp_path):
+    """pre-0.7 anndata stored obs/var as structured datasets; name lookup
+    must not crash on the membership test (regression)."""
+    import h5py
+    import numpy as np
+
+    from clonealign_tpu.io.h5 import read_h5ad
+
+    p = str(tmp_path / "legacy.h5ad")
+    with h5py.File(p, "w") as f:
+        f.create_dataset("X", data=np.arange(6.0).reshape(2, 3))
+        dt = np.dtype([("index", "S8"), ("val", "f8")])
+        f.create_dataset("obs", data=np.array([(b"c1", 0.1), (b"c2", 0.2)], dtype=dt))
+        f.create_dataset("var", data=np.array(
+            [(b"g1", 1.0), (b"g2", 2.0), (b"g3", 3.0)], dtype=dt))
+    cm = read_h5ad(p)
+    assert cm.cell_names == ["c1", "c2"]
+    assert cm.gene_names == ["g1", "g2", "g3"]
+
+
+def test_h5ad_legacy_h5sparse_shape(tmp_path):
+    """pre-0.7 sparse X uses the h5sparse_shape attribute (regression:
+    KeyError on missing 'shape')."""
+    import h5py
+    import numpy as np
+    import scipy.sparse as sp
+
+    from clonealign_tpu.io.h5 import read_h5ad
+
+    Y = sp.csr_matrix(np.arange(6.0).reshape(2, 3))
+    p = str(tmp_path / "h5sparse.h5ad")
+    with h5py.File(p, "w") as f:
+        g = f.create_group("X")
+        g.attrs["encoding-type"] = "csr_matrix"
+        g.attrs["h5sparse_format"] = "csr"
+        g.attrs["h5sparse_shape"] = np.asarray(Y.shape)
+        g.create_dataset("data", data=Y.data)
+        g.create_dataset("indices", data=Y.indices)
+        g.create_dataset("indptr", data=Y.indptr)
+    cm = read_h5ad(p)
+    np.testing.assert_array_equal(cm.counts, Y.toarray())

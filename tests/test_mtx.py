@@ -242,3 +242,30 @@ def test_read_mtx_info_consistent_for_symmetric(tmp_path):
         "%%MatrixMarket matrix coordinate real symmetric\n3 3 2\n2 1 1.0\n3 2 4.0\n",
     )
     assert read_mtx_info(p) == (3, 3, 2)
+
+
+def test_zero_index_rejected_both_paths(tmp_path, monkeypatch):
+    """1-based index 0 must raise on both backends (the Python fallback used
+    to wrap it to the last row via negative indexing)."""
+    import pytest
+
+    p = _write(
+        tmp_path, "zero.mtx",
+        "%%MatrixMarket matrix coordinate integer general\n3 3 1\n0 1 5\n",
+    )
+    from clonealign_tpu.io.mtx import _py_read_mtx, read_mtx
+
+    with pytest.raises(ValueError):
+        _py_read_mtx(p, dense=True)
+    with pytest.raises(ValueError):
+        read_mtx(p, dense=True)
+
+
+def test_truncated_header_raises_value_error(tmp_path):
+    import pytest
+
+    from clonealign_tpu.io.mtx import read_mtx_info
+
+    p = _write(tmp_path, "trunc.mtx", "%%MatrixMarket matrix coordinate real general\n% only comments\n")
+    with pytest.raises(ValueError, match="dimensions"):
+        read_mtx_info(p)
