@@ -158,8 +158,9 @@ def align_expression_to_cnv(Y, gene_names, gene_cnv, on_missing: str = "error"):
     if on_missing not in ("error", "drop"):
         raise ValueError(f"on_missing must be 'error' or 'drop', got {on_missing!r}")
 
+    gene_names = list(gene_names)
     pos = {g: i for i, g in enumerate(gene_names)}
-    if len(pos) != len(list(gene_names)):
+    if len(pos) != len(gene_names):
         raise ValueError("gene_names contains duplicates; disambiguate first")
     missing = [g for g in cnv_ids if g not in pos]
     if missing and on_missing == "error":

@@ -56,8 +56,15 @@ def make_mesh(
     return Mesh(dev_array, (CELL_AXIS, GENE_AXIS))
 
 
-def data_shardings(mesh: Mesh, has_x: bool) -> mm.ModelData:
-    """PartitionSpecs for the ModelData pytree (see module docstring)."""
+def data_shardings(
+    mesh: Mesh, has_x: bool, has_colsum: bool = True
+) -> mm.ModelData:
+    """PartitionSpecs for the ModelData pytree (see module docstring).
+
+    ``None`` fields in ModelData are empty pytree subtrees, so the sharding
+    pytree must mirror their absence (``has_x`` / ``has_colsum``) or
+    ``jax.tree.map`` over (data, shardings) raises a structure mismatch.
+    """
     return mm.ModelData(
         Y=NamedSharding(mesh, P(CELL_AXIS, GENE_AXIS)),
         L=NamedSharding(mesh, P(GENE_AXIS, None)),
@@ -65,7 +72,7 @@ def data_shardings(mesh: Mesh, has_x: bool) -> mm.ModelData:
         s=NamedSharding(mesh, P(CELL_AXIS)),
         log_binom=NamedSharding(mesh, P(CELL_AXIS)),
         YlogL=NamedSharding(mesh, P(CELL_AXIS, None)),
-        colsum_Y=NamedSharding(mesh, P(GENE_AXIS)),
+        colsum_Y=NamedSharding(mesh, P(GENE_AXIS)) if has_colsum else None,
     )
 
 
@@ -101,7 +108,9 @@ def param_shardings(mesh: Mesh, batched: bool = False) -> mm.CloneAlignParams:
 
 def shard_data(data: mm.ModelData, mesh: Mesh) -> mm.ModelData:
     """Place a ModelData pytree onto the mesh with the canonical shardings."""
-    shardings = data_shardings(mesh, has_x=data.X is not None)
+    shardings = data_shardings(
+        mesh, has_x=data.X is not None, has_colsum=data.colsum_Y is not None
+    )
     return jax.tree.map(jax.device_put, data, shardings)
 
 

@@ -46,10 +46,14 @@ def _narrowest_exact(Y_new):
     if Y_new.size == 0:
         return np.float32
     if np.issubdtype(Y_new.dtype, np.integer):
-        mx = Y_new.max()
+        mx, mn = Y_new.max(), Y_new.min()
     elif float(np.max(np.abs(Y_new - np.round(Y_new)))) == 0.0:
-        mx = Y_new.max()
+        mx, mn = Y_new.max(), Y_new.min()
     else:
+        return np.float32
+    # counts should be non-negative, but assign_cells (unlike setup_fit) does
+    # not validate that — never let a corrupt negative value wrap in the cast
+    if mn < 0:
         return np.float32
     if mx <= np.iinfo(np.int8).max:
         return np.int8

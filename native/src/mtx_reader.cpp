@@ -107,17 +107,25 @@ bool parse_header(const char* buf, size_t len, Header* h, char* err) {
 
 // Lock-free accumulate for concurrent duplicate coordinates (the spec says
 // entries are unique, but scipy tolerates duplicates by summing — so must we).
+// Uses the __atomic_* builtins directly on the object representation rather
+// than reinterpret_casting double* to std::atomic<uint64_t>* (which assumes a
+// matching layout and lock-free 8-byte atomics and is formally UB in C++17);
+// the builtins operate on raw 8-byte storage, so the only requirement is the
+// size/alignment match asserted below.
+static_assert(sizeof(double) == sizeof(uint64_t) &&
+                  alignof(double) >= alignof(uint64_t),
+              "atomic_add_double requires 8-byte doubles");
 inline void atomic_add_double(double* p, double v) {
-  auto* a = reinterpret_cast<std::atomic<uint64_t>*>(p);
-  uint64_t old_bits = a->load(std::memory_order_relaxed);
+  auto* bits = reinterpret_cast<uint64_t*>(p);
+  uint64_t old_bits = __atomic_load_n(bits, __ATOMIC_RELAXED);
   for (;;) {
     double od;
     std::memcpy(&od, &old_bits, sizeof(double));
     const double nv = od + v;
     uint64_t new_bits;
     std::memcpy(&new_bits, &nv, sizeof(double));
-    if (a->compare_exchange_weak(old_bits, new_bits,
-                                 std::memory_order_relaxed))
+    if (__atomic_compare_exchange_n(bits, &old_bits, new_bits, /*weak=*/true,
+                                    __ATOMIC_RELAXED, __ATOMIC_RELAXED))
       return;
   }
 }

@@ -204,3 +204,17 @@ def test_nan_copy_number_segments_dropped():
     )
     assert res.gene_ids == []
     assert not np.isnan(res.copy_number).any()
+
+
+def test_align_expression_to_cnv_iterator_gene_names():
+    """gene_names may be a one-shot iterator; the duplicate check must not
+    consume it twice (advisor round-2 finding)."""
+    import numpy as np
+
+    from clonealign_tpu.cnv import GeneCNVMatrix, align_expression_to_cnv
+
+    Y = np.arange(20, dtype=float).reshape(2, 10)
+    cnv = GeneCNVMatrix(np.array([[2.0], [3.0]]), ["g4", "g1"], ["A"])
+    Ys, Ls, ids = align_expression_to_cnv(Y, iter(f"g{i}" for i in range(10)), cnv)
+    assert ids == ["g4", "g1"]
+    np.testing.assert_array_equal(Ys, Y[:, [4, 1]])

@@ -56,3 +56,14 @@ def test_heldout_accuracy_with_latent_factor_fit():
     clones, _ = assign_cells(fit, sim.Y[140:], sim.L)
     acc = assignment_accuracy(clones, fit.clone_names, sim.clone_idx[140:])
     assert acc > 0.9
+
+
+def test_narrowest_exact_rejects_negatives():
+    """Negative values below the int8/int16 min must not wrap during the
+    narrowing transfer cast (advisor round-2 finding): fall back to f32."""
+    from clonealign_tpu.serve import _narrowest_exact
+
+    assert _narrowest_exact(np.array([[1, 200]])) == np.int16
+    assert _narrowest_exact(np.array([[1, 5]])) == np.int8
+    assert _narrowest_exact(np.array([[1.0, -200.0]])) == np.float32
+    assert _narrowest_exact(np.array([[1, -200]], dtype=np.int32)) == np.float32

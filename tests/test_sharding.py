@@ -149,3 +149,15 @@ def test_sharded_fit_y_storage_int8(sim):
         np.asarray(jnp.argmax(r_int8.params.gamma_logits, axis=-1)),
         np.asarray(jnp.argmax(r_full.params.gamma_logits, axis=-1)),
     )
+
+
+def test_shard_data_without_colsum(sim):
+    """ModelData.colsum_Y=None (the hand-built fallback elbo() supports) is an
+    empty pytree subtree; shard_data must mirror it rather than emitting a
+    sharding leaf for it (advisor round-2 finding)."""
+    mesh = make_mesh()
+    data = mm.prepare_data(sim.Y, sim.L, dtype=jnp.float64)
+    data = data._replace(colsum_Y=None)
+    sharded = shard_data(data, mesh)  # must not raise a tree-structure error
+    assert sharded.colsum_Y is None
+    assert len(sharded.Y.addressable_shards) == 8
