@@ -75,20 +75,25 @@ def compute_correlations(Y, L, clones, clone_names):
     L = np.asarray(L, np.float64)
     clones = np.asarray([str(c) for c in clones], dtype=object)
     keep = clones != UNASSIGNED
-    # CSR up front: COO and friends do not support row masking
-    Y = Y.tocsr()[keep] if _is_scipy_sparse(Y) else np.asarray(Y, np.float64)[keep]
-    clones = clones[keep]
-    M, G = Y.shape
+    sparse = _is_scipy_sparse(Y)
+    # CSR up front: COO and friends do not support row masking. Dense inputs
+    # are NOT masked/copied here — the chunked accumulation below applies the
+    # mask per row block, so no N x G float64 temporary is ever allocated
+    # (the ingestion path keeps Y at input dtype, e.g. int16).
+    if sparse:
+        Y = Y.tocsr()[keep]
+    M = int(keep.sum())
+    G = Y.shape[1]
     if M < 2:
         return np.full(G, np.nan)
 
     col_idx = {str(c): i for i, c in enumerate(clone_names)}
-    idx = np.asarray([col_idx[c] for c in clones])
     C = len(clone_names)
-    m = np.bincount(idx, minlength=C).astype(np.float64)  # cells per clone
 
     # per-gene sums of y and y^2, and per-(clone, gene) sums of y
-    if _is_scipy_sparse(Y):
+    if sparse:
+        idx = np.asarray([col_idx[c] for c in clones[keep]])
+        m = np.bincount(idx, minlength=C).astype(np.float64)  # cells per clone
         Y = Y.astype(np.float64)
         sum_y = np.asarray(Y.sum(axis=0)).ravel()
         sum_y2 = np.asarray(Y.multiply(Y).sum(axis=0)).ravel()
@@ -100,11 +105,29 @@ def compute_correlations(Y, L, clones, clone_names):
         SY = ind @ Y
         S = np.asarray(SY.todense() if sp.issparse(SY) else SY)
     else:
-        sum_y = Y.sum(axis=0)
-        sum_y2 = (Y * Y).sum(axis=0)
-        # per-clone row-sums; C is small, so a slice-and-sum per clone beats
-        # np.add.at's unbuffered element-wise loop by ~an order of magnitude
-        S = np.stack([Y[idx == c].sum(axis=0) for c in range(C)])
+        idx_full = np.asarray(
+            [col_idx[c] if k else -1 for c, k in zip(clones, keep)]
+        )
+        m = np.bincount(idx_full[keep], minlength=C).astype(np.float64)
+        sum_y = np.zeros(G)
+        sum_y2 = np.zeros(G)
+        S = np.zeros((C, G))
+        rows = max(1, (1 << 24) // max(G, 1))
+        N = Y.shape[0]
+        for i in range(0, N, rows):
+            blk = np.asarray(Y[i : i + rows], np.float64)
+            kb = keep[i : i + rows]
+            if not kb.all():
+                blk = blk[kb]
+            sum_y += blk.sum(axis=0)
+            sum_y2 += (blk * blk).sum(axis=0)
+            ib = idx_full[i : i + rows][kb]
+            # per-clone row-sums; C is small, so a slice-and-sum per clone
+            # beats np.add.at's unbuffered element-wise loop by ~10x
+            for c in range(C):
+                sel = ib == c
+                if sel.any():
+                    S[c] += blk[sel].sum(axis=0)
 
     # x_ng = L[g, clone(n)]: sums aggregate over clones
     sum_x = L @ m  # (G,)
