@@ -114,6 +114,16 @@ def shard_data(data: mm.ModelData, mesh: Mesh) -> mm.ModelData:
     return jax.tree.map(jax.device_put, data, shardings)
 
 
+def shard_extra_log_lik(extra_log_lik, mesh: Mesh):
+    """Place the (N, C) allele-specific log-likelihood term
+    (models/allele.py, reference R/inference-tflow.R:302-304) on the cells
+    axis. It is per-cell data like Y's rows — left unannotated GSPMD would
+    replicate it on every device, which wastes HBM and ICI at scale."""
+    if extra_log_lik is None:
+        return None
+    return jax.device_put(extra_log_lik, NamedSharding(mesh, P(CELL_AXIS, None)))
+
+
 def constrain_params(params: mm.CloneAlignParams, mesh: Mesh, batched: bool = False):
     shardings = param_shardings(mesh, batched)
     return jax.tree.map(jax.lax.with_sharding_constraint, params, shardings)
@@ -152,6 +162,7 @@ def sharded_fit(
     Y_in = Y if is_scipy_sparse(Y) else np.asarray(Y)
     data = mm.prepare_data(Y_in, np.asarray(L), x=x, dtype=dtype, y_storage=y_storage)
     data = shard_data(data, mesh)
+    extra_log_lik = shard_extra_log_lik(extra_log_lik, mesh)
 
     if initial_shrinks is None:
         shrinks = jnp.full((n_restarts,), 5.0, dtype)

@@ -124,9 +124,10 @@ def run_clonealign(
     if restart_batching not in ("vmap", "map"):
         raise ValueError(f"restart_batching must be 'vmap' or 'map', got {restart_batching!r}")
     if mesh is not None:
-        from .parallel.sharding import shard_data
+        from .parallel.sharding import shard_data, shard_extra_log_lik
 
         ctx.data = shard_data(ctx.data, mesh)
+        ctx.extra_log_lik = shard_extra_log_lik(ctx.extra_log_lik, mesh)
 
     shrinks = np.asarray(
         [s for s in initial_shrinks for _ in range(n_repeats)], np.float64

@@ -222,3 +222,37 @@ def test_hlo_no_data_replication(sim):
     # 2. The gene-contracted terms (A2/Z reductions over the sharded gene
     # axis) require cross-shard reductions: expect at least one all-reduce.
     assert "all-reduce" in hlo, "expected cross-shard reductions are missing"
+
+
+def test_sharded_allele_fit_matches_unsharded(sim):
+    """The allele-specific (N, C) extra_log_lik term shards over the cells
+    axis (VERDICT r2 weak item 7); the mesh sweep must agree with the
+    single-device sweep when it is present."""
+    from clonealign_tpu import run_clonealign
+
+    rng = np.random.default_rng(9)
+    N, C = sim.Y.shape[0], sim.L.shape[1]
+    V = 20
+    clone_allele = rng.integers(1, 4, (V, C)).astype(float)
+    cov = rng.integers(1, 10, (N, V)).astype(float)
+    ref = np.floor(cov * rng.uniform(0, 1, cov.shape))
+    kwargs = dict(
+        initial_shrinks=(5,), n_repeats=2, max_iter=8, seed=3, verbose=False,
+        print_elbos=False, dtype="float64",
+        clone_allele=clone_allele, cov=cov, ref=ref,
+    )
+    f_single = run_clonealign(sim.Y, sim.L, **kwargs)
+    mesh = make_mesh(gene_parallelism=2)
+    f_mesh = run_clonealign(sim.Y, sim.L, mesh=mesh, **kwargs)
+
+    np.testing.assert_allclose(
+        f_mesh.multirun_info["elbos"], f_single.multirun_info["elbos"], rtol=1e-9
+    )
+    assert f_mesh.clone == f_single.clone
+    # the term must actually be distributed over the cell axis, not replicated
+    from clonealign_tpu.parallel.sharding import shard_extra_log_lik
+
+    ell = shard_extra_log_lik(jnp.ones((64, 3)), mesh)
+    shards = ell.addressable_shards
+    assert len(shards) == 8
+    assert shards[0].data.shape == (64 // 4, 3)
