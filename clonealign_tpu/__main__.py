@@ -140,7 +140,8 @@ def cmd_assign(args) -> int:
     Y, _genes, cell_names = _load_counts(args.counts, args.transpose)
     L, _names = _load_cnv(args.cnv)
     clones, probs = assign_cells(
-        fit, Y, L, clone_call_probability=args.clone_call_probability
+        fit, Y, L, clone_call_probability=args.clone_call_probability,
+        latent=args.latent,
     )
     np.savez_compressed(
         args.out,
@@ -222,6 +223,11 @@ def main(argv=None) -> int:
     p_as.add_argument("--out", required=True, help="output assignments .npz")
     p_as.add_argument("--transpose", action="store_true")
     p_as.add_argument("--clone-call-probability", type=float, default=0.95)
+    p_as.add_argument(
+        "--latent", choices=("auto", "ignore", "refine"), default="auto",
+        help="latent-factor handling for unseen cells (serve.py docstring): "
+        "refine = per-(cell, clone) Laplace psi estimate for K=1 fits",
+    )
     p_as.add_argument("--quiet", action="store_true")
     p_as.set_defaults(fn=cmd_assign)
 

@@ -12,9 +12,20 @@ closed form — no optimization:
 which reuses the decomposed likelihood: Y_new @ log L − t · log Z(c) up to
 per-cell constants. One matmul per batch of cells; thousands of cells per
 millisecond on TPU.
+
+For models fitted with a latent factor (K > 0), rfe = 1 drops the per-cell
+``exp(psi_n . W_g)`` modulation. ``latent="refine"`` restores it with a
+per-(cell, clone) Laplace approximation: the clone log-likelihood is the
+multinomial log-lik at the MAP psi (a damped-Newton solve — the objective is
+strictly concave in psi: log Z is convex, the N(0,1) prior quadratic) plus
+the Gaussian-curvature correction −½ log|−f''|. All cells, clones, and
+Newton iterations batch into dense (N, C[, K]) array ops — no per-cell
+Python. Cost: ``newton_iters`` extra passes over the (N, G) batch.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +48,81 @@ def _posterior_log_probs(Y, L, mu, log_alpha):
     t = jnp.sum(Y.astype(jnp.float32), axis=1, keepdims=True)
     log_Z = jnp.log(jnp.sum(rates, axis=0))[None, :]  # (1, C)
     return log_alpha[None, :] + ylogr - t * log_Z
+
+
+@functools.partial(jax.jit, static_argnames="newton_iters")
+def _posterior_log_probs_refined(Y, L, mu, log_alpha, W, newton_iters=8):
+    """(N_new, C) clone log-posteriors with per-(cell, clone) MAP psi.
+
+    K=1 path (clonealign's universal default, reference R/clonealign.R:226-232
+    — both branches set K=1). Per clone c the concave objective is
+
+        f(p) = yW * p − t·log Z_c(p) − p²/2,
+        Z_c(p) = Σ_g mu_g L_gc exp(W_g p)
+
+    maximized by damped Newton (f'' = −t·Var_w(W) − 1 ≤ −1, so steps are
+    well-scaled); the returned log-lik is the Laplace approximation
+    f(p*) − ½ log(−f''(p*)) (clone-independent constants dropped)."""
+    Yf = Y.astype(jnp.float32)
+    t = jnp.sum(Yf, axis=1)  # (N,)
+    yW = Yf @ W[:, :1]  # (N, 1) — K=1
+    w = W[:, 0]  # (G,)
+    rates = mu[:, None] * L  # (G, C)
+
+    def body(psi, _):
+        # softmax-weighted moments of w under p_g ∝ rates_gc exp(w_g psi)
+        # computed per (cell, clone): logits (N, C, G) never materialize —
+        # blockwise over clones keeps it (N, G) per clone. C is small.
+        def per_clone(c):
+            lw = jnp.log(jnp.where(rates[:, c] > 0, rates[:, c], 1.0))
+            logits = lw[None, :] + w[None, :] * psi[:, c][:, None]  # (N, G)
+            logits = jnp.where(rates[:, c][None, :] > 0, logits, -jnp.inf)
+            p = jax.nn.softmax(logits, axis=1)
+            Ew = p @ w  # (N,)
+            Ew2 = p @ (w * w)
+            return Ew, Ew2
+
+        Ew, Ew2 = jax.vmap(per_clone, out_axes=1)(jnp.arange(rates.shape[1]))
+        var = jnp.maximum(Ew2 - Ew * Ew, 0.0)
+        grad = yW - t[:, None] * Ew - psi  # (N, C)
+        hess = -t[:, None] * var - 1.0
+        return psi - grad / hess, None
+
+    psi0 = jnp.zeros((Yf.shape[0], rates.shape[1]), jnp.float32)
+    psi, _ = jax.lax.scan(body, psi0, None, length=newton_iters)
+
+    # f(psi*) per (cell, clone), sharing the rfe=1 terms with the plain path
+    base = _posterior_log_probs(Y, L, mu, log_alpha)  # includes -t log Z(0)
+    # correction: [yW psi - t (log Z_c(psi) - log Z_c(0)) - psi^2/2 - 1/2 log(-f'')]
+    def logZ_ratio(c):
+        lw = jnp.log(jnp.where(rates[:, c] > 0, rates[:, c], 1.0))
+        safe = rates[:, c][None, :] > 0
+        l1 = jnp.where(safe, lw[None, :] + w[None, :] * psi[:, c][:, None], -jnp.inf)
+        l0 = jnp.where(safe, lw[None, :], -jnp.inf)
+        return (
+            jax.scipy.special.logsumexp(l1, axis=1)
+            - jax.scipy.special.logsumexp(l0, axis=1)
+        )
+
+    dlogZ = jax.vmap(logZ_ratio, out_axes=1)(jnp.arange(rates.shape[1]))  # (N, C)
+
+    # curvature at the optimum for the Laplace term
+    def curvature(c):
+        lw = jnp.log(jnp.where(rates[:, c] > 0, rates[:, c], 1.0))
+        logits = lw[None, :] + w[None, :] * psi[:, c][:, None]
+        logits = jnp.where(rates[:, c][None, :] > 0, logits, -jnp.inf)
+        p = jax.nn.softmax(logits, axis=1)
+        var = jnp.maximum(p @ (w * w) - (p @ w) ** 2, 0.0)
+        return t * var + 1.0
+
+    neg_hess = jax.vmap(curvature, out_axes=1)(jnp.arange(rates.shape[1]))
+    return (
+        base
+        + yW * psi
+        - t[:, None] * dlogZ
+        - 0.5 * psi * psi
+        - 0.5 * jnp.log(neg_hess)
+    )
 
 
 def _narrowest_exact(Y_new):
@@ -69,6 +155,8 @@ def assign_cells(
     clone_call_probability: float = 0.95,
     saturate: bool = True,
     saturation_threshold: float = 6,
+    latent: str = "auto",
+    newton_iters: int = 8,
 ):
     """Assign new cells to clones using a fitted model's parameters.
 
@@ -85,6 +173,12 @@ def assign_cells(
       saturate / saturation_threshold: MUST match the settings the model was
         fitted with (defaults mirror the fit API's defaults) so serving
         scores against the same saturated L the fit saw.
+      latent: how to treat the fitted latent factor for unseen cells.
+        ``"ignore"`` sets rfe = 1 (exact for K=0 fits). ``"refine"``
+        estimates each new cell's psi per clone by a Laplace approximation
+        (module docstring) — requires a K=1 fit. ``"auto"`` (default)
+        refines when the fit has a K=1 latent space, else ignores.
+      newton_iters: Newton steps for the psi solve (``latent="refine"``).
 
     Returns:
       (clones, clone_probs): list of labels and the (N_new, C) posterior.
@@ -104,16 +198,30 @@ def assign_cells(
     if saturate:
         L = np.minimum(L, float(saturation_threshold))
 
+    if latent not in ("auto", "ignore", "refine"):
+        raise ValueError(f"latent must be 'auto', 'ignore', or 'refine', got {latent!r}")
+    W = fit.ml_params.get("W")
+    K = 0 if W is None else np.asarray(W).shape[1]
+    if latent == "refine" and K != 1:
+        raise ValueError(
+            f"latent='refine' requires a K=1 fit (this fit has K={K}); "
+            "use latent='ignore'"
+        )
+    refine = (latent == "refine") or (latent == "auto" and K == 1)
+
     mu = jnp.asarray(fit.ml_params["mu"], jnp.float32)
     alpha = np.asarray(fit.ml_params["alpha"], np.float64)
     log_alpha = jnp.asarray(np.log(alpha / alpha.sum()), jnp.float32)
 
-    lp = _posterior_log_probs(
-        jnp.asarray(Y_new.astype(_narrowest_exact(Y_new))),
-        jnp.asarray(L, jnp.float32),
-        mu,
-        log_alpha,
-    )
+    Yd = jnp.asarray(Y_new.astype(_narrowest_exact(Y_new)))
+    Ld = jnp.asarray(L, jnp.float32)
+    if refine:
+        lp = _posterior_log_probs_refined(
+            Yd, Ld, mu, log_alpha, jnp.asarray(W, jnp.float32),
+            newton_iters=int(newton_iters),
+        )
+    else:
+        lp = _posterior_log_probs(Yd, Ld, mu, log_alpha)
     probs = np.asarray(jax.nn.softmax(lp, axis=1))
     clones = _assign.clone_assignment(probs, fit.clone_names, clone_call_probability)
     return clones, probs

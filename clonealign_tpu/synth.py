@@ -77,12 +77,16 @@ def simulate_multinomial(
     seed: int = 0,
     mean_total: float = 2000.0,
     clone_probs=None,
+    latent_scale: float = 0.1,
 ) -> SyntheticData:
     """Draw from the v2 clonealign model itself
     (vignettes/introduction_to_clonealign.Rmd:51-59): expected counts
     proportional to mu_g * L[g, z_n] * exp(psi_n . w_g), multinomial given
     per-cell totals. ``clone_probs`` optionally skews the ground-truth clone
-    prevalences (default uniform) — used by the parameter-recovery study."""
+    prevalences (default uniform) — used by the parameter-recovery study.
+    ``latent_scale`` is the sd of the gene loadings w (K > 0): larger values
+    make the per-cell factor compete with the clone signal — used to stress
+    the serving path's psi refinement."""
     rng = np.random.default_rng(seed)
 
     if clone_probs is None:
@@ -95,7 +99,7 @@ def simulate_multinomial(
     mu = rng.lognormal(0.0, 0.5, G)
     L = rng.integers(1, 5, (G, C)).astype(np.float64)
     if K > 0:
-        w = rng.normal(0, 0.1, (G, K))
+        w = rng.normal(0, latent_scale, (G, K))
         psi = rng.normal(0, 1, (N, K))
         rfe = np.exp(psi @ w.T)
     else:
