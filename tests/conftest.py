@@ -6,19 +6,30 @@ logic is exercised on host-platform virtual devices so the suite runs anywhere.
 Note: on this machine the axon TPU plugin ignores the JAX_PLATFORMS env var,
 so we also set the config flag programmatically; eager dispatch over the TPU
 tunnel is ~40ms/op, which would make the suite unusably slow.
+
+TPU-hardware profile: ``CLONEALIGN_TPU_TESTS=1 pytest -m tpu`` skips the
+CPU forcing (and x64, which TPUs lack) so the ``tpu``-marked tests in
+tests/test_tpu_hardware.py run against the real chip. Everything else should
+be deselected in that mode (the CPU suite's float64 oracles assume x64).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-# Enable x64 so float64 oracle comparisons are exact; the production TPU path
-# remains float32.
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+_TPU_MODE = os.environ.get("CLONEALIGN_TPU_TESTS") == "1"
+
+if not _TPU_MODE:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    # Enable x64 so float64 oracle comparisons are exact; the production TPU
+    # path remains float32.
+    os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,70 @@
+"""Regenerate tpu_parity_oracle.npz — the CPU float64/float32 oracle fits the
+TPU-hardware profile (tests/test_tpu_hardware.py) compares against.
+
+Run on any CPU host:
+
+    JAX_PLATFORMS=cpu JAX_ENABLE_X64=1 python tests/golden/make_tpu_parity_oracle.py
+
+Both fits are deterministic given the pinned seeds (jax.random threefry is
+backend- and machine-independent); regenerate only after a deliberate
+semantic change to the model or loop, together with the pins in
+tests/test_golden.py.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from clonealign_tpu import clonealign  # noqa: E402
+from clonealign_tpu.io.datasets import load_example_sce  # noqa: E402
+from clonealign_tpu.synth import simulate_multinomial  # noqa: E402
+
+# Converged-fit configs shared with the TPU profile: max_iter high enough
+# that the sliding-window criterion, not the iteration cap, shapes the end
+# state comparably across precisions.
+MAX_ITER = 500
+CONFIGS = {
+    "example": dict(seed=7),
+    "synth": dict(seed=11),
+}
+
+
+def datasets():
+    sce = load_example_sce()
+    sim = simulate_multinomial(N=5000, G=1000, C=4, seed=3, mean_total=2000)
+    return {
+        "example": (sce.counts, sce.copy_number),
+        "synth": (sim.Y, sim.L),
+    }
+
+
+def main():
+    out = {}
+    for name, (Y, L) in datasets().items():
+        for dtype, tag in (("float64", "64"), ("float32", "32")):
+            fit = clonealign(
+                Y, L, max_iter=MAX_ITER, seed=CONFIGS[name]["seed"],
+                dtype=dtype, verbose=False,
+            )
+            out[f"{name}_elbo{tag}"] = float(fit.convergence_info.final_elbo)
+            out[f"{name}_clone{tag}"] = np.array(list(fit.clone))
+    path = os.path.join(os.path.dirname(__file__), "tpu_parity_oracle.npz")
+    np.savez(path, **out)
+    print("wrote", path)
+    for k, v in out.items():
+        if np.ndim(v) == 0:
+            print(f"  {k} = {v}")
+
+
+if __name__ == "__main__":
+    main()
