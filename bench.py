@@ -102,6 +102,13 @@ def build_sweep(config, dtype, max_iter):
 
 
 def main():
+    # honor JAX_PLATFORMS=cpu programmatically: the axon TPU plugin ignores
+    # the env var, so without this the "CPU smoke" recipe silently dispatched
+    # through the TPU tunnel (slow and contended)
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
 
