@@ -35,11 +35,14 @@ from . import assign as _assign
 
 
 @jax.jit
+@jax.default_matmul_precision("highest")
 def _posterior_log_probs(Y, L, mu, log_alpha):
     """(N_new, C) unnormalized clone log-posteriors for new cells.
 
     ``Y`` may arrive in a narrow integer dtype (see :func:`assign_cells`) —
-    contractions promote to f32 on the fly."""
+    contractions promote to f32 on the fly. Full matmul precision: serving
+    batches are transfer-bound over PCIe, so the MXU passes are free, and
+    default bf16 passes on TPU could flip threshold-boundary calls vs CPU."""
     rates = mu[:, None] * L  # (G, C)
     log_rates = jnp.where(rates > 0, jnp.log(jnp.where(rates > 0, rates, 1.0)), -jnp.inf)
     ylogr = Y @ jnp.where(jnp.isfinite(log_rates), log_rates, 0.0)  # (N, C)
@@ -51,6 +54,7 @@ def _posterior_log_probs(Y, L, mu, log_alpha):
 
 
 @functools.partial(jax.jit, static_argnames="newton_iters")
+@jax.default_matmul_precision("highest")
 def _posterior_log_probs_refined(Y, L, mu, log_alpha, W, newton_iters=8):
     """(N_new, C) clone log-posteriors with per-(cell, clone) MAP psi.
 
