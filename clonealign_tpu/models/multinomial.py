@@ -51,14 +51,20 @@ LOG_2PI = math.log(2.0 * math.pi)
 # inflates converged-fit ELBO error vs the f64 oracle ~10x over generic-f32
 # and flips extra assignments, while pinning precision globally costs 3.2x
 # throughput at the 100k x 5k benchmark (it also breaks the int8-Y matmul
-# path). The policy is therefore per-contraction: the groups below are
-# independently pinned; measurement drives which ones stay raised. Env
-# overrides exist for experiments, not for production use.
-#   A: the thin per-cell terms (A1 = Y @ W, A2 = Y @ log mu / colsum dot)
-#   Z: the (S*C)-column gene normalizer contraction
-# No effect off-TPU: CPU/GPU f32 matmuls are full precision already.
+# path). The policy is therefore per-contraction, from measurement:
+#   A — the thin Y-carrying terms (A1 = Y @ W, A2 = Y @ log mu / the
+#       colsum.log_mu dot): HIGHEST is FREE (295k vs 288k cells/s; the
+#       parity error lives here, counts/colsums are large) -> HIGHEST.
+#   Z — the (S*C)-column gene-normalizer contraction: HIGHEST costs 3x
+#       (the multi-pass algorithm defeats fusing exp(psi.W) into the
+#       matmul), and its default-precision ELBO error is only ~5e-5
+#       relative. With A pinned, converged TPU f32 fits land 8e-6..5e-5
+#       relative of the f64 oracle with labels exactly matching the CPU
+#       f32 oracle (tests/test_tpu_hardware.py) -> DEFAULT.
+# Env overrides exist for experiments, not for production use. No effect
+# off-TPU: CPU/GPU f32 matmuls are full precision already.
 _A_PRECISION = os.environ.get("CLONEALIGN_A_PRECISION", "highest")
-_Z_PRECISION = os.environ.get("CLONEALIGN_Z_PRECISION", "highest")
+_Z_PRECISION = os.environ.get("CLONEALIGN_Z_PRECISION", "default")
 
 
 def _a_precision():

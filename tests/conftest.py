@@ -33,3 +33,9 @@ import jax  # noqa: E402
 if not _TPU_MODE:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+else:
+    # compiles over the remote-compile tunnel take minutes; reruns of the
+    # TPU profile should hit the persistent cache
+    from clonealign_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
