@@ -30,7 +30,7 @@ from .preprocess import preprocess_for_clonealign
 from .restarts import run_clonealign
 from .serve import assign_cells
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "clonealign",
