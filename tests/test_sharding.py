@@ -256,3 +256,23 @@ def test_sharded_allele_fit_matches_unsharded(sim):
     shards = ell.addressable_shards
     assert len(shards) == 8
     assert shards[0].data.shape == (64 // 4, 3)
+
+
+def test_sharded_fit_sparse_input(sim):
+    """scipy-sparse counts flow through the mesh path (prepare_data_sparse ->
+    shard_data) and agree with the dense mesh fit exactly."""
+    import scipy.sparse as sp
+
+    key = jax.random.PRNGKey(11)
+    config = mm.ModelConfig(K=1, P=0, mc_samples=1)
+    kwargs = dict(max_iter=8, rel_tol=1e-10, dtype=jnp.float64, config=config, key=key)
+    mesh = make_mesh(gene_parallelism=2)
+    r_dense = sharded_fit(sim.Y, sim.L, mesh, n_restarts=2, **kwargs)
+    r_sparse = sharded_fit(sp.csr_matrix(sim.Y), sim.L, mesh, n_restarts=2, **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(r_sparse.final_elbo), np.asarray(r_dense.final_elbo), rtol=1e-12
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(r_sparse.params.gamma_logits, axis=-1)),
+        np.asarray(jnp.argmax(r_dense.params.gamma_logits, axis=-1)),
+    )
