@@ -69,10 +69,13 @@ def make_synthetic(key, N, G, C, dtype, chunk=10_000, out_dtype=None):
 
 def build_sweep(config, dtype, max_iter):
     """The benchmark's restart sweep as ONE jitted on-device program:
-    lax.map over restarts (sequential, bounding memory to a single fit's
-    working set), scan-based iteration (unroll=4), gradients without remat
-    (one restart fits HBM comfortably), convergence monitored from the
-    training-step ELBO. Only the winning assignment leaves the device.
+    restarts VMAPPED (batched Adam loops — measured 2.84 s vs 3.10 s for the
+    sequential lax.map at the headline config, r3 probe: the batched thin
+    matmuls amortize per-step overheads; the decomposed ELBO keeps the
+    per-lane working set small enough that 10 lanes fit HBM up to ~5e8
+    N x G elements), scan-based iteration (unroll=4), gradients without
+    remat, convergence monitored from the training-step ELBO. Only the
+    winning assignment leaves the device.
 
     When ``data`` is mesh-sharded (cells x genes NamedShardings from
     parallel/sharding.py), GSPMD propagates the shardings through the whole
@@ -94,7 +97,7 @@ def build_sweep(config, dtype, max_iter):
                 elbo_eval="reuse", loop_impl="scan", unroll=4, remat=False,
             )
             return res.final_elbo, res.params.gamma_logits
-        elbos, gammas = jax.lax.map(one_fit, keys)
+        elbos, gammas = jax.vmap(one_fit)(keys)
         best = jnp.argmax(elbos)
         return elbos, jnp.argmax(gammas[best], axis=1)
 

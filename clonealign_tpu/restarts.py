@@ -116,11 +116,15 @@ def run_clonealign(
     verbose = kwargs.get("verbose", True)
     ctx = setup_fit(gene_expression_data, copy_number_data, **kwargs)
     if restart_batching == "auto":
-        # vmap multiplies the per-restart N x G working set by the number of
-        # restarts; beyond ~50M cells*genes that approaches HBM limits, so
-        # fall back to the sequential on-device map (same results).
+        # vmap multiplies the per-restart working set by the number of
+        # restarts. Measured on v5e-16GB (r3, benchmarks/results_tpu_r3.jsonl
+        # probe vmap_restarts): 10 lanes at 100k x 5k (5e8 elements) fit for
+        # BOTH int8 and f32 storage and run ~10% faster than the sequential
+        # map, while 10 lanes at 500k x 2k (1e9) fail to compile — so the
+        # cutover is on lanes x elements with margin below that boundary.
         n_elems = ctx.data.Y.shape[0] * ctx.data.Y.shape[1]
-        restart_batching = "map" if n_elems > 50_000_000 else "vmap"
+        n_lanes = len(initial_shrinks) * n_repeats
+        restart_batching = "map" if n_elems * n_lanes > 6_000_000_000 else "vmap"
     if restart_batching not in ("vmap", "map"):
         raise ValueError(f"restart_batching must be 'vmap' or 'map', got {restart_batching!r}")
     if mesh is not None:
