@@ -211,6 +211,7 @@ def setup_fit(
     verbose: bool = True,
     data_init_mu=True,
     y_storage: Optional[str] = None,
+    likelihood_impl: str = "auto",
 ) -> FitContext:
     """Input parsing + filtering + device data prep
     (reference R/clonealign.R:206-260 and R/inference-tflow.R:111-235)."""
@@ -284,7 +285,12 @@ def setup_fit(
         extra_log_lik = v_log_prob
         clone_probs_from_snv = np.asarray(snv_clone_probs(v_log_prob))
 
-    config = mm.ModelConfig(K=K, P=P, mc_samples=int(mc_samples), fix_alpha=fix_alpha)
+    config = mm.ModelConfig(
+        K=K, P=P, mc_samples=int(mc_samples), fix_alpha=fix_alpha,
+        likelihood_impl=likelihood_impl,
+    )
+    if likelihood_impl == "z_cheb":
+        mm._use_z_cheb(config)  # validate K/P eagerly with a clear error
     # int16/int8 store counts EXACTLY (bf16 rounds above 256) and are the
     # fastest options (docs/design.md section 2); prepare_data raises if any
     # count would overflow the range. "auto" picks the narrowest exact
@@ -432,6 +438,7 @@ def clonealign(
     elbo_eval: str = "fresh",
     progress: bool = False,
     y_storage: Optional[str] = None,
+    likelihood_impl: str = "auto",
     loop_impl: str = "while",
     unroll: int = 1,
     remat: bool = True,
@@ -460,6 +467,7 @@ def clonealign(
         verbose=verbose,
         data_init_mu=data_init_mu,
         y_storage=y_storage,
+        likelihood_impl=likelihood_impl,
     )
 
     if key is None:

@@ -135,8 +135,15 @@ class ModelConfig(NamedTuple):
     mc_samples: int = 1
     fix_alpha: bool = False
     # Likelihood backend: "auto" -> the XLA decomposed path (measured fastest,
-    # see _use_fused); "fused" -> the Pallas kernel; "xla" -> force XLA.
+    # see _use_fused); "fused" -> the Pallas kernel; "xla" -> force XLA;
+    # "z_cheb" -> the XLA path with the log-normalizer evaluated through a
+    # per-(sample, clone) Chebyshev expansion in psi (K=1, P=0 only — see
+    # _compute_logZ_cheb; opt-in throughput mode like int8 storage).
     likelihood_impl: str = "auto"
+    # Chebyshev degree for likelihood_impl="z_cheb": value error ~1e-13,
+    # derivative error ~1e-11 at D=32 over an 8-sigma psi range (offline
+    # study committed with the r3 results).
+    z_degree: int = 32
 
 
 def _use_fused(config: "ModelConfig", dtype) -> bool:
@@ -567,6 +574,87 @@ def _compute_Z(params: CloneAlignParams, data: ModelData, mu_samples: jax.Array)
     return jnp.sum(mL, axis=2)[:, :, None] * jnp.ones((1, 1, N), mu_samples.dtype)
 
 
+def _compute_logZ_cheb(params: CloneAlignParams, data: ModelData,
+                       mu_samples: jax.Array, degree: int):
+    """log Z[s,c,n] for K=1, P=0 by Chebyshev approximation over psi.
+
+    With a single latent dimension the normalizer is a smooth 1-D function
+    of each cell's scalar psi:
+
+        Z_c(t) = sum_g mu_sg L_gc exp(w_g t),   log Z_c analytic in t,
+
+    so instead of the O(N x G) exp + contraction per evaluation (the VPU
+    exp work is the measured bottleneck of the vmapped sweep — v5e
+    micro-probes in benchmarks/results_tpu_r3.jsonl), fit a degree-D
+    Chebyshev polynomial to log Z_c over [min psi, max psi] (O(G x D) exps
+    + two tiny matmuls) and evaluate it per cell by the Clenshaw recurrence
+    — O(D x N x S x C) VPU FMAs, NO gathers (a knot-table + gather variant
+    measured 2.9x SLOWER than exact on v5e: TPU gathers serialize).
+
+    Chebyshev converges geometrically for this analytic family: at D=32
+    over an 8-sigma psi range the value error is ~1e-13 and the derivative
+    error ~1e-11 (offline study; asserted vs the exact path in
+    tests/test_z_cheb.py). Gradients flow through the node table
+    (d mu, W, L) and the Clenshaw recurrence (d psi); the expansion range
+    is stop-gradiented like a constant grid.
+    """
+    dt = params.psi.dtype
+    w = params.W[:, 0]                    # (G,)
+    psi = params.psi[:, 0]                # (N,)
+    mL = mu_samples[:, None, :] * data.L.T[None, :, :]  # (S, C, G)
+
+    t_min = jax.lax.stop_gradient(jnp.min(psi))
+    t_max = jax.lax.stop_gradient(jnp.max(psi))
+    mid = 0.5 * (t_min + t_max)
+    half = jnp.maximum(0.5 * (t_max - t_min), 1e-6)
+
+    k = jnp.arange(degree + 1, dtype=dt)
+    theta = jnp.pi * (k + 0.5) / (degree + 1)
+    tk = mid + half * jnp.cos(theta)                    # (D+1,) Chebyshev nodes
+    expw = jnp.exp(w[:, None] * tk[None, :])            # (G, D+1)
+    # The whole table build is tiny (G x D + D^2 MACs), so it runs at FULL
+    # precision: under the MXU's default bf16 inputs the node values
+    # (|logZ| ~ 10) round at ~0.04 absolute, which annihilates the small
+    # high-order coefficients the transform's cancellation produces —
+    # measured as a ~4% systematic ELBO readout bias on v5e before this pin.
+    with jax.default_matmul_precision("highest"):
+        Zk = jnp.einsum("scg,gk->sck", mL, expw)        # (S, C, D+1)
+        fk = jnp.log(Zk)
+        # center: the transform then cancels O(spread)~1 values, not O(10)
+        f0 = jnp.mean(fk, axis=-1, keepdims=True)
+        jj = jnp.arange(degree + 1, dtype=dt)
+        M = jnp.cos(jj[:, None] * theta[None, :])       # (D+1, D+1)
+        coef = (2.0 / (degree + 1)) * jnp.einsum("sck,jk->scj", fk - f0, M)
+    coef = coef.at[..., 0].mul(0.5)
+    coef = coef.at[..., 0].add(f0[..., 0])
+
+    x = ((psi - mid) / half)[None, None, :]             # (1, 1, N)
+    two_x = 2.0 * x
+    b1 = jnp.zeros(coef.shape[:2] + (psi.shape[0],), dt)
+    b2 = b1
+    for j in range(degree, 0, -1):
+        b1, b2 = two_x * b1 - b2 + coef[..., j : j + 1], b1
+    return x * b1 - b2 + coef[..., 0:1]                 # (S, C, N)
+
+
+def _use_z_cheb(config: "ModelConfig") -> bool:
+    if config.likelihood_impl != "z_cheb":
+        return False
+    if config.K != 1 or config.P != 0:
+        raise ValueError(
+            "likelihood_impl='z_cheb' requires K=1 and no covariates "
+            f"(got K={config.K}, P={config.P}); use the default backend"
+        )
+    return True
+
+
+def _compute_logZ(params, data, mu_samples, config: "ModelConfig"):
+    """log of the gene normalizer, via the configured backend."""
+    if _use_z_cheb(config):
+        return _compute_logZ_cheb(params, data, mu_samples, config.z_degree)
+    return jnp.log(_compute_Z(params, data, mu_samples))
+
+
 def log_p_y_on_c(
     params: CloneAlignParams,
     data: ModelData,
@@ -600,7 +688,7 @@ def log_p_y_on_c(
         muL = (mu_samples[:, None, :] * data.L.T[None, :, :]).transpose(2, 0, 1)
         muL = muL.reshape(data.L.shape[0], S * C)
         A1, A2, Z_flat = fused_likelihood_terms(data.Y, psi_ext, W_ext, log_mu, muL)
-        Z = Z_flat.reshape(N, S, C).transpose(1, 2, 0)  # (S, C, N)
+        logZ = jnp.log(Z_flat.reshape(N, S, C).transpose(1, 2, 0))  # (S, C, N)
     else:
         # A1[n] = sum_g y_ng * log rfe[n,g]; log rfe = psi W^T (+ X beta^T).
         # (Merging the A1/A2 dots into one Y @ [W|log_mu] matmul was measured
@@ -615,14 +703,14 @@ def log_p_y_on_c(
                 A1 = A1 + jnp.sum(data.X * (data.Y @ params.beta), axis=1)
 
             A2 = data.Y @ log_mu.T  # (N, S)
-        Z = _compute_Z(params, data, mu_samples)
+        logZ = _compute_logZ(params, data, mu_samples, config)
 
     ll = (
         data.log_binom[None, None, :]
         + A1[None, None, :]
         + A2.T[:, None, :]
         + data.YlogL.T[None, :, :]
-        - data.s[None, None, :] * jnp.log(Z)
+        - data.s[None, None, :] * logZ
     )  # (S, C, N)
     if extra_log_lik is not None:
         ll = ll + extra_log_lik.T[None, :, :]
@@ -683,7 +771,7 @@ def elbo(
         muL = (mu_samples[:, None, :] * data.L.T[None, :, :]).transpose(2, 0, 1)
         muL = muL.reshape(data.L.shape[0], S * C)
         A1, A2, Z_flat = fused_likelihood_terms(data.Y, psi_ext, W_ext, log_mu, muL)
-        Z = Z_flat.reshape(N, S, C).transpose(1, 2, 0)  # (S, C, N)
+        logZ = jnp.log(Z_flat.reshape(N, S, C).transpose(1, 2, 0))  # (S, C, N)
         const_sum = jnp.sum(data.log_binom) + jnp.sum(A1) + jnp.sum(A2) / S
     else:
         with _a_precision():
@@ -700,9 +788,9 @@ def elbo(
                 jnp.vdot(jax.lax.stop_gradient(colsum), jnp.sum(log_mu, axis=0)) / S
             )
         const_sum = jnp.sum(data.log_binom) + A1_sum + A2_sum
-        Z = _compute_Z(params, data, mu_samples)  # (S, C, N)
+        logZ = _compute_logZ(params, data, mu_samples, config)  # (S, C, N)
 
-    clone_ll = data.YlogL.T[None, :, :] - data.s[None, None, :] * jnp.log(Z)
+    clone_ll = data.YlogL.T[None, :, :] - data.s[None, None, :] * logZ
     if extra_log_lik is not None:
         clone_ll = clone_ll + extra_log_lik.T[None, :, :]
 

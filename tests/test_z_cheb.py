@@ -1,0 +1,100 @@
+"""likelihood_impl="z_cheb": the Chebyshev-approximated log-normalizer
+(models/multinomial._compute_logZ_cheb) must agree with the exact path far
+below the tolerances that matter, in value, gradient, and whole-fit results."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clonealign_tpu.models import multinomial as mm
+from clonealign_tpu.synth import simulate_multinomial
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def setup():
+    sim = simulate_multinomial(N=400, G=150, C=4, K=1, seed=2, mean_total=1500)
+    data = mm.prepare_data(sim.Y, sim.L, dtype=jnp.float64)
+    key = jax.random.PRNGKey(0)
+    params = mm.init_params(sim.Y, sim.L, key, K=1, dtype=jnp.float64)
+    # non-trivial psi/W so the normalizer actually varies across cells
+    k1, k2 = jax.random.split(key)
+    params = params._replace(
+        psi=jax.random.normal(k1, params.psi.shape, jnp.float64) * 2.0,
+        W=jax.random.normal(k2, params.W.shape, jnp.float64) * 0.3,
+    )
+    return sim, data, params
+
+
+def test_logZ_value_agreement(setup):
+    _, data, params = setup
+    mu = jnp.abs(jax.random.normal(jax.random.PRNGKey(3), (2, data.L.shape[0]),
+                                   jnp.float64)) + 0.3
+    exact = jnp.log(mm._compute_Z(params, data, mu))
+    approx = mm._compute_logZ_cheb(params, data, mu, 32)
+    np.testing.assert_allclose(np.asarray(approx), np.asarray(exact), rtol=1e-9)
+
+
+def test_logZ_gradient_agreement(setup):
+    _, data, params = setup
+    mu = jnp.abs(jax.random.normal(jax.random.PRNGKey(4), (1, data.L.shape[0]),
+                                   jnp.float64)) + 0.3
+
+    def loss_exact(p):
+        return jnp.sum(jnp.sin(jnp.log(mm._compute_Z(p, data, mu))))
+
+    def loss_spline(p):
+        return jnp.sum(jnp.sin(mm._compute_logZ_cheb(p, data, mu, 32)))
+
+    ge = jax.grad(loss_exact)(params)
+    gs = jax.grad(loss_spline)(params)
+    for name in ("psi", "W"):
+        # derivative error of the cubic is one order above its value error;
+        # at 2048 knots the worst cells (stencil ends) sit at ~4e-6 relative
+        np.testing.assert_allclose(
+            np.asarray(getattr(gs, name)), np.asarray(getattr(ge, name)),
+            rtol=1e-5, atol=1e-9, err_msg=name,
+        )
+
+
+def test_elbo_agreement(setup):
+    _, data, params = setup
+    key = jax.random.PRNGKey(7)
+    e_exact = float(mm.elbo(params, data, key, mm.ModelConfig(K=1)))
+    e_spline = float(mm.elbo(params, data, key,
+                             mm.ModelConfig(K=1, likelihood_impl="z_cheb")))
+    np.testing.assert_allclose(e_spline, e_exact, rtol=1e-10)
+
+
+def test_full_fit_equivalence(setup):
+    """Same keys: the z_spline fit must land on the same assignments with
+    final ELBO within f32-level tolerance of the exact fit."""
+    sim, _, _ = setup
+    from clonealign_tpu import clonealign
+
+    fits = {}
+    for impl in ("auto", "z_cheb"):
+        # float64: at f32 the ~1e-6 interpolation perturbation amplifies
+        # through Adam's trajectory exactly like f32-vs-f64 rounding does
+        # (see the precision study) — the backend comparison belongs at f64
+        fits[impl] = clonealign(
+            sim.Y, sim.L, max_iter=60, seed=5, verbose=False,
+            likelihood_impl=impl, dtype="float64",
+        )
+    np.testing.assert_allclose(
+        fits["z_cheb"].convergence_info.final_elbo,
+        fits["auto"].convergence_info.final_elbo,
+        rtol=1e-6,
+    )
+    assert fits["z_cheb"].clone == fits["auto"].clone
+
+
+def test_z_cheb_validation():
+    with pytest.raises(ValueError, match="z_cheb"):
+        cfg = mm.ModelConfig(K=0, likelihood_impl="z_cheb")
+        mm._use_z_cheb(cfg)
+    with pytest.raises(ValueError, match="z_cheb"):
+        cfg = mm.ModelConfig(K=1, P=2, likelihood_impl="z_cheb")
+        mm._use_z_cheb(cfg)
