@@ -138,7 +138,13 @@ def main():
     # if any count exceeds int8 range) and quarter the HBM traffic of f32.
     # Assignments verified identical to the f32 path at this scale.
     data = mm.prepare_data(Y, L, dtype=dtype, y_storage=jnp.int8)
-    config = mm.ModelConfig(K=1, P=0, mc_samples=1)
+    # z_cheb: the Chebyshev log-normalizer (models/multinomial.py) — 1.63x
+    # over the exact path with assignment agreement 1.0, ground-truth
+    # accuracy 1.0, per-lane final ELBOs within 5.1e-5, and converged-fit
+    # parity vs the f64 oracle at 1.6-2.9e-5 (results_tpu_r3.jsonl).
+    # BENCH_EXACT=1 switches back to the exact likelihood path.
+    impl = "auto" if os.environ.get("BENCH_EXACT") == "1" else "z_cheb"
+    config = mm.ModelConfig(K=1, P=0, mc_samples=1, likelihood_impl=impl)
 
     # On a multi-chip host the sweep runs mesh-sharded: all devices on the
     # cells axis (data parallel — cells are the unbounded dimension), ELBO /
@@ -181,9 +187,9 @@ def main():
     # step runs to its memory-bound speed of light.
     y_bytes = np.dtype(np.int8).itemsize * N * G
     out = {
-        "metric": f"cells_assigned_per_sec (100k x 5k x 10, 10 restarts, {hw})"
+        "metric": f"cells_assigned_per_sec (100k x 5k x 10, 10 restarts, {hw}, {impl})"
         if not smoke
-        else f"cells_assigned_per_sec (smoke, {hw})",
+        else f"cells_assigned_per_sec (smoke, {hw}, {impl})",
         "value": round(cells_per_sec, 1),
         "unit": "cells/s",
         "vs_baseline": round(cells_per_sec / baseline, 2),
