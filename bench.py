@@ -181,10 +181,13 @@ def main():
     baseline = 100_000 * 10 / 60.0 * (n_dev / 8.0)
     hw = f"{n_dev}-device mesh {dict(mesh.shape)}" if mesh else "single chip"
     step_s = elapsed / (max_iter * R)
-    # HBM traffic per training step: the two Y passes (forward A1/Z read +
-    # backward dW/dZ read) dominate; at int8 storage that is 2 * N * G bytes.
-    # "effective" = that floor divided by measured step time — how close the
-    # step runs to its memory-bound speed of light.
+    # HBM traffic: with the restarts VMAPPED, the thin Y contractions batch
+    # across all R lanes (Y @ [W_1..W_R]), so Y is read twice per BATCHED
+    # step — not per lane. "effective" = that floor divided by the measured
+    # batched-step time: how close the step runs to its memory-bound speed
+    # of light. (Dividing by the per-LANE time would overstate bandwidth by
+    # up to R x.)
+    batched_step_s = elapsed / max_iter
     y_bytes = np.dtype(np.int8).itemsize * N * G
     out = {
         "metric": f"cells_assigned_per_sec (100k x 5k x 10, 10 restarts, {hw}, {impl})"
@@ -196,7 +199,7 @@ def main():
         "elapsed_s": round(elapsed, 2),
         "vi_steps_per_sec": round(max_iter * R / elapsed, 1),
         "ms_per_step": round(1000 * step_s, 3),
-        "effective_GBps": round(2 * y_bytes / step_s / 1e9, 1),
+        "effective_GBps": round(2 * y_bytes / batched_step_s / 1e9, 1),
         "config": {"N": N, "G": G, "C": C, "restarts": R, "max_iter": max_iter},
         "final_elbos": [round(float(f), 1) for f in finals],
     }

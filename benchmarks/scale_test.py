@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--max-iter", type=int, default=100)
     ap.add_argument("--sparse", action="store_true",
                     help="ingest counts as scipy CSR (no host densification)")
+    ap.add_argument("--impl", default="auto", choices=("auto", "z_cheb"),
+                    help="likelihood backend (z_cheb: Chebyshev normalizer)")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +62,7 @@ def main():
     else:
         data = mm.prepare_data(Y, L, dtype=jnp.float32, y_storage=jnp.int8)
         del Y
-    config = mm.ModelConfig(K=1, P=0, mc_samples=1)
+    config = mm.ModelConfig(K=1, P=0, mc_samples=1, likelihood_impl=args.impl)
 
     @jax.jit
     def sweep(keys, data):
@@ -93,7 +95,8 @@ def main():
 
     acc = float((a == np.asarray(z)).mean())
     print(json.dumps({
-        "metric": f"scale test {N}x{G}x{C}, {R} restarts, single chip, {ingest}",
+        "metric": f"scale test {N}x{G}x{C}, {R} restarts, single chip, {ingest}"
+        + ("" if args.impl == "auto" else f", {args.impl}"),
         "elapsed_s": round(elapsed, 2),
         "cells_per_sec": round(N * R / elapsed, 1),
         "accuracy": acc,

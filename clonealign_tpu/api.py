@@ -76,13 +76,7 @@ def _parse_expression(gene_expression_data):
     return Y, gene_names or None, cell_names or None
 
 
-# Row-chunk granularity for host-side passes over dense count matrices
-# (~16M elements = 128 MB at float64 per temporary).
-_HOST_CHUNK_ELEMENTS = 1 << 24
-
-
-def _host_row_chunk(G: int) -> int:
-    return max(1, _HOST_CHUNK_ELEMENTS // max(G, 1))
+from .utils.chunking import host_row_chunk as _host_row_chunk  # noqa: E402
 
 
 def _colsum_f64(Y, sparse: bool) -> np.ndarray:
@@ -285,6 +279,11 @@ def setup_fit(
         extra_log_lik = v_log_prob
         clone_probs_from_snv = np.asarray(snv_clone_probs(v_log_prob))
 
+    if likelihood_impl not in ("auto", "xla", "fused", "z_cheb"):
+        raise ValueError(
+            "likelihood_impl must be one of 'auto', 'xla', 'fused', "
+            f"'z_cheb'; got {likelihood_impl!r}"
+        )
     config = mm.ModelConfig(
         K=K, P=P, mc_samples=int(mc_samples), fix_alpha=fix_alpha,
         likelihood_impl=likelihood_impl,

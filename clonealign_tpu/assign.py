@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .utils.chunking import host_row_chunk as _host_row_chunk
 from .utils.sparsity import is_scipy_sparse as _is_scipy_sparse
 
 UNASSIGNED = "unassigned"
@@ -112,7 +113,7 @@ def compute_correlations(Y, L, clones, clone_names):
         sum_y = np.zeros(G)
         sum_y2 = np.zeros(G)
         S = np.zeros((C, G))
-        rows = max(1, (1 << 24) // max(G, 1))
+        rows = _host_row_chunk(G)
         N = Y.shape[0]
         for i in range(0, N, rows):
             blk = np.asarray(Y[i : i + rows], np.float64)

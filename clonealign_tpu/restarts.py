@@ -124,7 +124,11 @@ def run_clonealign(
         # cutover is on lanes x elements with margin below that boundary.
         n_elems = ctx.data.Y.shape[0] * ctx.data.Y.shape[1]
         n_lanes = len(initial_shrinks) * n_repeats
-        restart_batching = "map" if n_elems * n_lanes > 6_000_000_000 else "vmap"
+        # on a mesh the per-DEVICE working set is what must fit HBM
+        n_dev = mesh.devices.size if mesh is not None else 1
+        restart_batching = (
+            "map" if n_elems * n_lanes > 6_000_000_000 * n_dev else "vmap"
+        )
     if restart_batching not in ("vmap", "map"):
         raise ValueError(f"restart_batching must be 'vmap' or 'map', got {restart_batching!r}")
     if mesh is not None:

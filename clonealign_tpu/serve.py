@@ -72,54 +72,48 @@ def _posterior_log_probs_refined(Y, L, mu, log_alpha, W, newton_iters=8):
     yW = Yf @ W[:, :1]  # (N, 1) — K=1
     w = W[:, 0]  # (G,)
     rates = mu[:, None] * L  # (G, C)
+    C = rates.shape[1]
+    N = Yf.shape[0]
+
+    def clone_stats(c, psi_c):
+        """Softmax moments of w under p_g ∝ rates_gc exp(w_g psi) plus the
+        log-normalizer shift, for ONE clone: the (N, G) workspace exists for
+        one clone at a time (lax.map below — a vmap here would batch all
+        clones and materialize (C, N, G))."""
+        lw = jnp.log(jnp.where(rates[:, c] > 0, rates[:, c], 1.0))
+        safe = rates[:, c][None, :] > 0
+        logits = jnp.where(safe, lw[None, :] + w[None, :] * psi_c[:, None], -jnp.inf)
+        logsumZ = jax.scipy.special.logsumexp(logits, axis=1)  # (N,)
+        p = jax.nn.softmax(logits, axis=1)
+        Ew = p @ w
+        var = jnp.maximum(p @ (w * w) - Ew * Ew, 0.0)
+        return Ew, var, logsumZ
 
     def body(psi, _):
-        # softmax-weighted moments of w under p_g ∝ rates_gc exp(w_g psi)
-        # computed per (cell, clone): logits (N, C, G) never materialize —
-        # blockwise over clones keeps it (N, G) per clone. C is small.
-        def per_clone(c):
-            lw = jnp.log(jnp.where(rates[:, c] > 0, rates[:, c], 1.0))
-            logits = lw[None, :] + w[None, :] * psi[:, c][:, None]  # (N, G)
-            logits = jnp.where(rates[:, c][None, :] > 0, logits, -jnp.inf)
-            p = jax.nn.softmax(logits, axis=1)
-            Ew = p @ w  # (N,)
-            Ew2 = p @ (w * w)
-            return Ew, Ew2
-
-        Ew, Ew2 = jax.vmap(per_clone, out_axes=1)(jnp.arange(rates.shape[1]))
-        var = jnp.maximum(Ew2 - Ew * Ew, 0.0)
-        grad = yW - t[:, None] * Ew - psi  # (N, C)
-        hess = -t[:, None] * var - 1.0
+        Ew, var, _ = jax.lax.map(
+            lambda c: clone_stats(c, psi[:, c]), jnp.arange(C)
+        )  # each (C, N)
+        grad = yW - t[:, None] * Ew.T - psi  # (N, C)
+        hess = -t[:, None] * var.T - 1.0
         return psi - grad / hess, None
 
-    psi0 = jnp.zeros((Yf.shape[0], rates.shape[1]), jnp.float32)
+    psi0 = jnp.zeros((N, C), jnp.float32)
     psi, _ = jax.lax.scan(body, psi0, None, length=newton_iters)
+
+    # one final per-clone pass at the converged psi yields BOTH the Laplace
+    # curvature and the log-normalizer shift (no redundant recomputation)
+    _, var_f, logsum1 = jax.lax.map(
+        lambda c: clone_stats(c, psi[:, c]), jnp.arange(C)
+    )
+    _, _, logsum0 = jax.lax.map(
+        lambda c: clone_stats(c, jnp.zeros((N,), jnp.float32)), jnp.arange(C)
+    )
 
     # f(psi*) per (cell, clone), sharing the rfe=1 terms with the plain path
     base = _posterior_log_probs(Y, L, mu, log_alpha)  # includes -t log Z(0)
     # correction: [yW psi - t (log Z_c(psi) - log Z_c(0)) - psi^2/2 - 1/2 log(-f'')]
-    def logZ_ratio(c):
-        lw = jnp.log(jnp.where(rates[:, c] > 0, rates[:, c], 1.0))
-        safe = rates[:, c][None, :] > 0
-        l1 = jnp.where(safe, lw[None, :] + w[None, :] * psi[:, c][:, None], -jnp.inf)
-        l0 = jnp.where(safe, lw[None, :], -jnp.inf)
-        return (
-            jax.scipy.special.logsumexp(l1, axis=1)
-            - jax.scipy.special.logsumexp(l0, axis=1)
-        )
-
-    dlogZ = jax.vmap(logZ_ratio, out_axes=1)(jnp.arange(rates.shape[1]))  # (N, C)
-
-    # curvature at the optimum for the Laplace term
-    def curvature(c):
-        lw = jnp.log(jnp.where(rates[:, c] > 0, rates[:, c], 1.0))
-        logits = lw[None, :] + w[None, :] * psi[:, c][:, None]
-        logits = jnp.where(rates[:, c][None, :] > 0, logits, -jnp.inf)
-        p = jax.nn.softmax(logits, axis=1)
-        var = jnp.maximum(p @ (w * w) - (p @ w) ** 2, 0.0)
-        return t * var + 1.0
-
-    neg_hess = jax.vmap(curvature, out_axes=1)(jnp.arange(rates.shape[1]))
+    dlogZ = (logsum1 - logsum0).T  # (N, C)
+    neg_hess = t[:, None] * var_f.T + 1.0
     return (
         base
         + yW * psi
