@@ -88,6 +88,73 @@ class ClonealignFit:
             arrays["mr__best_run"] = np.asarray(self.multirun_info["best_run"])
         np.savez_compressed(path, **arrays)
 
+    def save_rds(self, path: str, compress: str = "gzip") -> None:
+        """Write the fit as an ``.rds`` file readable by R's ``readRDS()``.
+
+        The exported list mirrors the reference's saved fit object
+        (reference R/clonealign.R:303 builds the ``clonealign_fit`` list;
+        users persist it with ``saveRDS``, which is exactly how the bundled
+        ``example_clonealign_fit.rda`` was made): slots ``clone``,
+        ``ml_params`` (``clone_probs`` carries the clone names as column
+        dimnames, reference R/clonealign.R:286), ``convergence_info``,
+        ``retained_genes``, ``correlations``, ``clone_probs_from_snv``, and
+        ``multirun_info`` when present, with ``class = "clonealign_fit"`` —
+        so existing downstream R code keeps working on fits produced here.
+        """
+        from .io.rds import RObj, write_rds
+
+        clone_names = [str(c) for c in self.clone_names]
+        ml: Dict[str, object] = {}
+        for k, v in self.ml_params.items():
+            arr = np.asarray(v)
+            if arr.dtype.kind == "f":
+                arr = arr.astype(np.float64)  # R numeric is double
+            if k == "clone_probs" and arr.ndim == 2:
+                arr = RObj(arr, {"dimnames": RObj([None, clone_names])})
+            ml[k] = arr
+        payload: Dict[str, object] = {
+            "clone": np.asarray([str(c) for c in self.clone]),
+            "ml_params": ml,
+            "convergence_info": {
+                "final_elbo": float(self.convergence_info.final_elbo),
+                "sd_final_elbo": float(self.convergence_info.sd_final_elbo),
+                "elbo": np.asarray(self.convergence_info.elbo, np.float64),
+                "n_iters": int(self.convergence_info.n_iters),
+            },
+            "retained_genes": np.asarray([str(g) for g in self.retained_genes]),
+            "correlations": np.asarray(self.correlations, np.float64),
+            "clone_probs_from_snv": (
+                None
+                if self.clone_probs_from_snv is None
+                else RObj(
+                    np.asarray(self.clone_probs_from_snv, np.float64),
+                    {"dimnames": RObj([None, clone_names])},
+                )
+            ),
+        }
+        if self.multirun_info is not None:
+            mr = self.multirun_info
+            payload["multirun_info"] = {
+                "elbos": np.asarray(mr["elbos"], np.float64),
+                # the reference stores `table(ca$clone)` per run (reference
+                # R/clonealign.R:69); a named integer vector indexes the same
+                "clone_prevalences_at_different_shrinks": [
+                    RObj(
+                        np.asarray(list(tab.values()), np.int32),
+                        {"names": [str(k) for k in tab.keys()]},
+                    )
+                    for tab in mr["clone_prevalences_at_different_shrinks"]
+                ],
+                "median_correlations": np.asarray(
+                    mr["median_correlations"], np.float64
+                ),
+                "initial_shrinks": np.asarray(mr["initial_shrinks"], np.float64),
+                "best_run": int(mr["best_run"]) + 1,  # 1-based for R readers
+            }
+        write_rds(
+            RObj(payload, {"class": ["clonealign_fit"]}), path, compress=compress
+        )
+
     @classmethod
     def load(cls, path: str) -> "ClonealignFit":
         z = np.load(path, allow_pickle=False)

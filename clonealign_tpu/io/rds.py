@@ -411,3 +411,215 @@ def read_rds(path: str) -> Any:
     with open(path, "rb") as fh:
         data = _decompress(fh.read())
     return parse_r_serialized(data)
+
+
+# ---------------------------------------------------------------------------
+# Writer: Python containers -> R serialization (XDR format v2), the inverse
+# of the reader above. Lets fits flow BACK to R (`readRDS()` on the output
+# of ClonealignFit.save_rds matches the shape of the reference's saved fit
+# lists, reference R/clonealign.R:303) — the other half of the migration
+# path. Format reference: R Internals manual, "Serialization Formats".
+# ---------------------------------------------------------------------------
+
+# CHARSXP encoding bits carried in the flags' "levels" field (gp), R
+# internals: ASCII for pure-ASCII payloads, UTF-8 otherwise.
+_ASCII_MASK = 1 << 6
+_UTF8_MASK = 1 << 3
+
+
+class _Writer:
+    def __init__(self):
+        self.buf = bytearray()
+
+    def i4(self, v) -> None:
+        self.buf += struct.pack(">i", int(v))
+
+    def flags(self, ptype, levels=0, is_obj=False, has_attr=False, has_tag=False):
+        self.i4(
+            ptype
+            | (levels << 12)
+            | (0x100 if is_obj else 0)
+            | (0x200 if has_attr else 0)
+            | (0x400 if has_tag else 0)
+        )
+
+    def charsxp(self, s) -> None:
+        if s is None:
+            self.flags(CHARSXP)
+            self.i4(-1)  # NA_character_
+            return
+        b = str(s).encode("utf-8")
+        self.flags(CHARSXP, levels=_ASCII_MASK if b.isascii() else _UTF8_MASK)
+        self.i4(len(b))
+        self.buf += b
+
+    def _symbol(self, name: str) -> None:
+        self.flags(SYMSXP)
+        self.charsxp(name)
+
+    def _attributes(self, attrs: dict) -> None:
+        """Attribute pairlist: (tag symbol, value) nodes, NIL-terminated."""
+        for name, value in attrs.items():
+            self.flags(LISTSXP, has_tag=True)
+            self._symbol(str(name))
+            self.item(value)
+        self.flags(NILVALUE_SXP)
+
+    # -- encoding decisions ------------------------------------------------
+
+    @staticmethod
+    def _as_strsxp(obj) -> Optional[list]:
+        """Return obj as a list of str/None if it is a character vector."""
+        if isinstance(obj, np.ndarray):
+            if obj.dtype.kind in "US":
+                return [str(s) for s in obj.ravel(order="F")]
+            if obj.dtype == object and obj.size and all(
+                isinstance(s, str) or s is None for s in obj.ravel(order="F")
+            ):
+                return list(obj.ravel(order="F"))
+            return None
+        if (
+            isinstance(obj, (list, tuple))
+            and len(obj) > 0
+            and all(isinstance(s, (str, np.str_)) or s is None for s in obj)
+        ):
+            return list(obj)
+        return None
+
+    def item(self, obj, extra_attrs: Optional[dict] = None) -> None:
+        """Serialize one R object; ``extra_attrs`` merge over RObj attributes."""
+        attrs = dict(extra_attrs or {})
+        if isinstance(obj, RObj):
+            merged = dict(obj.attributes)
+            merged.update(attrs)
+            self.item(obj.value, merged)
+            return
+        if isinstance(obj, RSymbol):
+            self._symbol(obj.name)
+            return
+
+        if obj is None:
+            # NULL cannot carry attributes in R; drop any silently
+            self.flags(NILVALUE_SXP)
+            return
+
+        # scalars promote to length-1 vectors (R has no scalar type)
+        if isinstance(obj, (bool, np.bool_)):
+            obj = np.asarray([obj])
+        elif isinstance(obj, (int, np.integer)):
+            obj = np.asarray([obj], dtype=np.int64)
+        elif isinstance(obj, (float, np.floating)):
+            obj = np.asarray([obj], dtype=np.float64)
+        elif isinstance(obj, (complex, np.complexfloating)):
+            obj = np.asarray([obj], dtype=np.complex128)
+        elif isinstance(obj, (str, np.str_)):
+            obj = [str(obj)]
+
+        strings = self._as_strsxp(obj)
+        is_obj = "class" in attrs
+
+        if strings is not None:
+            if isinstance(obj, np.ndarray) and obj.ndim >= 2:
+                attrs.setdefault("dim", np.asarray(obj.shape, np.int32))
+            self.flags(STRSXP, is_obj=is_obj, has_attr=bool(attrs))
+            self.i4(len(strings))
+            for s in strings:
+                self.charsxp(s)
+            if attrs:
+                self._attributes(attrs)
+            return
+
+        if isinstance(obj, np.ndarray):
+            self._array(obj, attrs, is_obj)
+            return
+
+        if isinstance(obj, dict):
+            # named list; tags become the names attribute
+            attrs.setdefault("names", [str(k) for k in obj.keys()])
+            values = list(obj.values())
+        elif isinstance(obj, (list, tuple)):
+            values = list(obj)
+        else:
+            raise TypeError(f"cannot serialize {type(obj).__name__} to RDS")
+        self.flags(VECSXP, is_obj=is_obj, has_attr=bool(attrs))
+        self.i4(len(values))
+        for v in values:
+            self.item(v)
+        if attrs:
+            self._attributes(attrs)
+
+    def _array(self, arr: np.ndarray, attrs: dict, is_obj: bool) -> None:
+        if arr.ndim >= 2:
+            attrs.setdefault("dim", np.asarray(arr.shape, np.int32))
+        flat = arr.ravel(order="F")  # R stores matrices column-major
+
+        kind = arr.dtype.kind
+        if kind == "b":
+            ptype, payload = LGLSXP, flat.astype(np.int32)
+        elif kind == "O":
+            # logical-with-NA vectors come back from the reader as object
+            # arrays mixing bool and None; anything else is unsupported
+            if not all(isinstance(v, (bool, np.bool_)) or v is None for v in flat):
+                raise TypeError("object arrays must be all-bool/None or all-str/None")
+            ptype = LGLSXP
+            payload = np.asarray(
+                [R_NA_INT if v is None else int(bool(v)) for v in flat], np.int32
+            )
+        elif kind in "iu":
+            as64 = flat.astype(np.int64)
+            # int32 min is R's NA_integer_; values outside int32 (or colliding
+            # with NA) must travel as doubles to stay exact
+            if as64.size and (as64.min() <= R_NA_INT or as64.max() > 2**31 - 1):
+                ptype, payload = REALSXP, as64.astype(np.float64)
+            else:
+                ptype, payload = INTSXP, as64.astype(np.int32)
+        elif kind == "f":
+            ptype, payload = REALSXP, flat.astype(np.float64)
+        elif kind == "c":
+            ptype, payload = CPLXSXP, flat.astype(np.complex128)
+        else:
+            raise TypeError(f"cannot serialize array of dtype {arr.dtype} to RDS")
+
+        self.flags(ptype, is_obj=is_obj, has_attr=bool(attrs))
+        self.i4(payload.size)
+        if ptype == LGLSXP or ptype == INTSXP:
+            self.buf += payload.astype(">i4").tobytes()
+        elif ptype == REALSXP:
+            self.buf += payload.astype(">f8").tobytes()
+        else:
+            self.buf += payload.astype(">c16").tobytes()
+        if attrs:
+            self._attributes(attrs)
+
+
+def r_serialize(obj) -> bytes:
+    """Serialize a Python object to an R serialization v2 (XDR) stream.
+
+    Mapping: numpy arrays -> atomic vectors (matrices column-major with a
+    ``dim`` attribute), str / lists of str -> character vectors, dicts ->
+    named lists, lists -> unnamed lists, None -> NULL, ``RObj`` -> its value
+    with its attributes (use for dimnames/class). Integer vectors that do
+    not fit R's int32 are promoted to doubles.
+    """
+    w = _Writer()
+    w.buf += b"X\n"
+    w.i4(2)  # serialization format version (readable by every R >= 2.3)
+    w.i4(0x030500)  # writer "R version"
+    w.i4(0x020300)  # minimal reader version
+    w.item(obj)
+    return bytes(w.buf)
+
+
+def write_rds(obj, path: str, compress: str = "gzip") -> None:
+    """Write ``obj`` to an ``.rds`` file readable by R's ``readRDS()``."""
+    data = r_serialize(obj)
+    if compress == "gzip":
+        data = gzip.compress(data)
+    elif compress == "bzip2":
+        data = bz2.compress(data)
+    elif compress == "xz":
+        data = lzma.compress(data)
+    elif compress not in (None, "none"):
+        raise ValueError(f"unknown compress={compress!r}")
+    with open(path, "wb") as fh:
+        fh.write(data)

@@ -10,6 +10,9 @@ docstring. Add new public functions here when they land.
 import importlib
 import inspect
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SECTIONS = [
     ("Fitting", [
@@ -71,6 +74,8 @@ SECTIONS = [
         "clonealign_tpu.io.h5.read_10x_h5",
         "clonealign_tpu.io.rds.read_rda",
         "clonealign_tpu.io.rds.read_rds",
+        "clonealign_tpu.io.rds.write_rds",
+        "clonealign_tpu.fit.ClonealignFit.save_rds",
     ]),
     ("Synthetic data", [
         "clonealign_tpu.synth.simulate_model3",
@@ -100,8 +105,16 @@ def first_paragraph(doc):
 
 
 def entry(qualname):
-    mod_name, attr = qualname.rsplit(".", 1)
-    obj = getattr(importlib.import_module(mod_name), attr)
+    # longest importable prefix, then attribute-walk (handles methods)
+    parts = qualname.split(".")
+    for i in range(len(parts) - 1, 0, -1):
+        try:
+            obj = importlib.import_module(".".join(parts[:i]))
+        except ModuleNotFoundError:
+            continue
+        for attr in parts[i:]:
+            obj = getattr(obj, attr)
+        break
     try:
         sig = str(inspect.signature(obj))
     except (TypeError, ValueError):
