@@ -523,9 +523,10 @@ def _package_fit(
     ml_params = {
         "mu": np.asarray(jax.nn.softplus(p.qmu_loc)),
         "clone_probs": np.asarray(jax.nn.softmax(p.gamma_logits, axis=1)),
-        # ravel: scipy sparse sums are (N, 1); float64 keeps the contract
-        # stable now that integer inputs are no longer upcast at ingestion
-        "s": np.asarray(Y.sum(axis=1), np.float64).ravel(),
+        # ravel: scipy sparse sums are (N, 1); accumulate IN float64 (not
+        # just cast after) so float32 inputs keep the float64-exact size
+        # factors now that ingestion no longer upcasts
+        "s": np.asarray(Y.sum(axis=1, dtype=np.float64)).ravel(),
         "alpha": np.asarray(jax.nn.softmax(p.alpha_unconstr)),
     }
     if config.K > 0:

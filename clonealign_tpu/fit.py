@@ -58,7 +58,7 @@ class ClonealignFit:
         arrays = {
             "clone": np.asarray(self.clone, dtype=object).astype(str),
             "clone_names": np.asarray(self.clone_names, dtype=str),
-            "retained_genes": np.asarray([str(g) for g in self.retained_genes]),
+            "retained_genes": np.asarray([str(g) for g in self.retained_genes], dtype=np.str_),
             "correlations": np.asarray(self.correlations, np.float64),
             "conv_final_elbo": np.asarray(self.convergence_info.final_elbo),
             "conv_sd_final_elbo": np.asarray(self.convergence_info.sd_final_elbo),
@@ -113,7 +113,9 @@ class ClonealignFit:
                 arr = RObj(arr, {"dimnames": RObj([None, clone_names])})
             ml[k] = arr
         payload: Dict[str, object] = {
-            "clone": np.asarray([str(c) for c in self.clone]),
+            # dtype=np.str_ keeps zero-length vectors character() (an
+            # untyped np.asarray([]) is float64 -> would export numeric(0))
+            "clone": np.asarray([str(c) for c in self.clone], dtype=np.str_),
             "ml_params": ml,
             "convergence_info": {
                 "final_elbo": float(self.convergence_info.final_elbo),
@@ -121,7 +123,7 @@ class ClonealignFit:
                 "elbo": np.asarray(self.convergence_info.elbo, np.float64),
                 "n_iters": int(self.convergence_info.n_iters),
             },
-            "retained_genes": np.asarray([str(g) for g in self.retained_genes]),
+            "retained_genes": np.asarray([str(g) for g in self.retained_genes], dtype=np.str_),
             "correlations": np.asarray(self.correlations, np.float64),
             "clone_probs_from_snv": (
                 None

@@ -566,13 +566,16 @@ class _Writer:
                 [R_NA_INT if v is None else int(bool(v)) for v in flat], np.int32
             )
         elif kind in "iu":
-            as64 = flat.astype(np.int64)
             # int32 min is R's NA_integer_; values outside int32 (or colliding
-            # with NA) must travel as doubles to stay exact
-            if as64.size and (as64.min() <= R_NA_INT or as64.max() > 2**31 - 1):
-                ptype, payload = REALSXP, as64.astype(np.float64)
+            # with NA) must travel as doubles to stay exact. Bounds-check at
+            # the SOURCE dtype: a uint64 above int64 max would wrap negative
+            # under an int64 cast and silently corrupt the promoted double.
+            if flat.size and (
+                int(flat.min()) <= R_NA_INT or int(flat.max()) > 2**31 - 1
+            ):
+                ptype, payload = REALSXP, flat.astype(np.float64)
             else:
-                ptype, payload = INTSXP, as64.astype(np.int32)
+                ptype, payload = INTSXP, flat.astype(np.int32)
         elif kind == "f":
             ptype, payload = REALSXP, flat.astype(np.float64)
         elif kind == "c":

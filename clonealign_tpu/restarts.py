@@ -81,6 +81,24 @@ def _sweep_program(
     return jax.lax.map(lambda ks: one_fit(ks[0], ks[1]), (keys, shrinks))
 
 
+def _auto_restart_batching(n_elems, n_lanes, n_dev, itemsize) -> str:
+    """Pick vmap vs sequential-map restart batching by per-device working set.
+
+    vmap multiplies the per-restart working set by the number of lanes.
+    Measured on v5e-16GB (r3, benchmarks/results_tpu_r3.jsonl probe
+    vmap_restarts): 10 lanes at 100k x 5k (5e8 elements) fit for BOTH int8
+    and f32 Y storage and run ~10% faster than the sequential map, while 10
+    lanes at 500k x 2k (1e9) fail to compile — so the cutover is on
+    lanes x elements with margin below that boundary. The boundary was
+    measured at float32 compute; wider compute dtypes (dtype='float64')
+    double every per-lane intermediate, so the element budget scales down
+    with the compute itemsize. On a mesh the per-DEVICE share is what must
+    fit HBM.
+    """
+    budget = 6_000_000_000 * n_dev * 4 // max(int(itemsize), 4)
+    return "map" if n_elems * n_lanes > budget else "vmap"
+
+
 def run_clonealign(
     gene_expression_data,
     copy_number_data,
@@ -122,12 +140,11 @@ def run_clonealign(
         # BOTH int8 and f32 storage and run ~10% faster than the sequential
         # map, while 10 lanes at 500k x 2k (1e9) fail to compile — so the
         # cutover is on lanes x elements with margin below that boundary.
-        n_elems = ctx.data.Y.shape[0] * ctx.data.Y.shape[1]
-        n_lanes = len(initial_shrinks) * n_repeats
-        # on a mesh the per-DEVICE working set is what must fit HBM
-        n_dev = mesh.devices.size if mesh is not None else 1
-        restart_batching = (
-            "map" if n_elems * n_lanes > 6_000_000_000 * n_dev else "vmap"
+        restart_batching = _auto_restart_batching(
+            n_elems=ctx.data.Y.shape[0] * ctx.data.Y.shape[1],
+            n_lanes=len(initial_shrinks) * n_repeats,
+            n_dev=mesh.devices.size if mesh is not None else 1,
+            itemsize=jnp.dtype(ctx.jdtype).itemsize,
         )
     if restart_batching not in ("vmap", "map"):
         raise ValueError(f"restart_batching must be 'vmap' or 'map', got {restart_batching!r}")

@@ -20,7 +20,9 @@ multinomial log-lik at the MAP psi (a damped-Newton solve — the objective is
 strictly concave in psi: log Z is convex, the N(0,1) prior quadratic) plus
 the Gaussian-curvature correction −½ log|−f''|. All cells, clones, and
 Newton iterations batch into dense (N, C[, K]) array ops — no per-cell
-Python. Cost: ``newton_iters`` extra passes over the (N, G) batch.
+Python. Cost: ~``newton_iters``·C (N, G)-sized passes — each Newton
+iteration evaluates the softmax moments once per clone (plus 2·C final
+curvature/value passes), so size serving batches for C× the plain path.
 """
 
 from __future__ import annotations

@@ -171,3 +171,32 @@ def test_blocked_init_and_z_match_unblocked():
         np.asarray(jnp.abs(p_blk.psi)), np.asarray(jnp.abs(p_ref.psi)), atol=1e-6
     )
     np.testing.assert_allclose(np.asarray(Z_blk), np.asarray(Z_ref), rtol=1e-12)
+
+
+def test_size_factors_accumulate_in_float64():
+    """ml_params['s'] must be float64-accumulated even for float32 dense
+    inputs (a float32 running sum drifts at wide G)."""
+    from clonealign_tpu import clonealign
+
+    rng = np.random.default_rng(0)
+    G = 4096
+    Y = np.full((4, G), 0.1, np.float32)
+    Y[:, 0] = rng.integers(1, 5, size=4)  # keep rows distinct/nonzero
+    L = np.asarray(rng.integers(1, 4, size=(G, 2)), np.float64)
+    fit = clonealign(Y, L, max_iter=2, verbose=False)
+    expect = Y.astype(np.float64).sum(axis=1)
+    np.testing.assert_allclose(fit.ml_params["s"], expect, rtol=1e-12)
+
+
+def test_auto_restart_batching_scales_with_compute_itemsize():
+    """The vmap/map cutover halves its element budget for float64 compute
+    (the boundary was measured at float32 intermediates)."""
+    from clonealign_tpu.restarts import _auto_restart_batching
+
+    n_elems, lanes = 500_000_000, 10  # measured-fits configuration at f32
+    assert _auto_restart_batching(n_elems, lanes, 1, 4) == "vmap"
+    assert _auto_restart_batching(n_elems, lanes, 1, 8) == "map"
+    # int8 Y storage does not EXPAND the budget past the f32 measurement
+    assert _auto_restart_batching(n_elems * 2, lanes, 1, 1) == "map"
+    # per-device share: an 8-device mesh restores the vmap choice
+    assert _auto_restart_batching(n_elems, lanes, 8, 8) == "vmap"

@@ -219,3 +219,25 @@ class TestSaveRdsFit:
         assert "multirun_info" not in names
         by = dict(zip(names, back.value))
         assert unwrap(by["clone_probs_from_snv"]) is None
+
+
+def test_uint64_above_int64_max_exports_exact_double():
+    """A uint64 past int64 max must not wrap negative on the way to R's
+    double promotion (bounds are checked at the source dtype)."""
+    v = np.array([2**63 + 2048, 3], dtype=np.uint64)
+    back = np.asarray(unwrap(roundtrip(v)))
+    assert back.dtype == np.float64
+    np.testing.assert_array_equal(back, v.astype(np.float64))
+    assert back[0] > 0
+
+
+def test_empty_typed_string_array_exports_character0():
+    """np.asarray([], dtype=np.str_) must serialize as STRSXP (R
+    character(0)), not fall through to an empty numeric vector."""
+    import struct
+
+    data = r_serialize(np.asarray([], dtype=np.str_))
+    from clonealign_tpu.io.rds import STRSXP
+
+    assert struct.unpack(">i", data[14:18])[0] & 0xFF == STRSXP
+    assert unwrap(parse_r_serialized(data)) == []
