@@ -179,6 +179,105 @@ class ClonealignFit:
             multirun_info=cls._load_multirun_info(z),
         )
 
+    @classmethod
+    def load_rds(cls, path: str) -> "ClonealignFit":
+        """Load a fit that R saved with ``saveRDS()`` (or :meth:`save_rds`).
+
+        Accepts the reference's ``clonealign_fit`` list layout (reference
+        R/clonealign.R:303: ``clone``, ``ml_params``, ``convergence_info``,
+        ``retained_genes``, ``correlations``, ``clone_probs_from_snv``, plus
+        ``multirun_info`` from ``run_clonealign``, reference
+        R/clonealign.R:67-72) — so fits produced by the original R package
+        can be re-thresholded (:func:`recompute_clone_assignment`), printed,
+        plotted, and served against (:func:`clonealign_tpu.serve.assign_cells`)
+        without an R runtime. Clone names come from ``clone_probs``'s column
+        dimnames (reference R/clonealign.R:286)."""
+        from .io.rds import RObj, read_rds, unwrap
+
+        def named(o, what):
+            names = o.attr("names") if isinstance(o, RObj) else None
+            if names is None:
+                raise ValueError(f"{path}: expected a named R list for {what}")
+            return dict(zip([str(n) for n in names], o.value))
+
+        def array(o):
+            """Reassemble an R vector/matrix (flat column-major + dim)."""
+            dim = o.attr("dim") if isinstance(o, RObj) else None
+            a = np.asarray(unwrap(o))
+            if dim is not None:
+                a = a.reshape(tuple(int(d) for d in dim), order="F")
+            return a
+
+        def strings(o):
+            return [str(s) for s in unwrap(o)] if unwrap(o) is not None else []
+
+        obj = read_rds(path)
+        if isinstance(obj, RObj) and obj.rclass not in (None, ["clonealign_fit"]):
+            raise ValueError(
+                f"{path}: R object has class {obj.rclass}, not clonealign_fit"
+            )
+        top = named(obj, "the fit")
+        ml_r = named(top["ml_params"], "ml_params")
+        ml = {k: array(v) for k, v in ml_r.items() if unwrap(v) is not None}
+        for k in ("s", "mu", "alpha", "chi"):
+            if k in ml:
+                ml[k] = ml[k].ravel()
+
+        cp = ml_r.get("clone_probs")
+        dimnames = cp.attr("dimnames") if isinstance(cp, RObj) else None
+        if dimnames is not None and unwrap(dimnames[1]) is not None:
+            clone_names = strings(dimnames[1])
+        else:  # unnamed matrix: fall back to observed labels
+            clone_names = sorted(set(strings(top["clone"])) - {"unassigned"})
+
+        ci = named(top["convergence_info"], "convergence_info")
+        trace = array(ci["elbo"]).ravel() if "elbo" in ci else np.asarray([])
+        conv = ConvergenceInfo(
+            final_elbo=float(array(ci["final_elbo"]).ravel()[0]),
+            sd_final_elbo=float(array(ci["sd_final_elbo"]).ravel()[0]),
+            elbo=trace,
+            # R fits carry no n_iters slot; the trace is initial + one/iter
+            n_iters=(
+                int(array(ci["n_iters"]).ravel()[0])
+                if "n_iters" in ci
+                else max(trace.size - 1, 0)
+            ),
+        )
+
+        multirun = None
+        if unwrap(top.get("multirun_info")) is not None:
+            mr = named(top["multirun_info"], "multirun_info")
+            tabs = []
+            for tab in unwrap(mr["clone_prevalences_at_different_shrinks"]):
+                labels = tab.attr("names") if isinstance(tab, RObj) else None
+                counts = array(tab).ravel()
+                tabs.append(
+                    {str(l): int(c) for l, c in zip(strings(labels), counts)}
+                )
+            multirun = {
+                "elbos": array(mr["elbos"]).ravel(),
+                "clone_prevalences_at_different_shrinks": tabs,
+                "median_correlations": array(mr["median_correlations"]).ravel(),
+                "initial_shrinks": array(mr["initial_shrinks"]).ravel(),
+                "best_run": int(array(mr["best_run"]).ravel()[0]) - 1,  # 1-based in R
+            }
+
+        snv = top.get("clone_probs_from_snv")
+        return cls(
+            clone=strings(top["clone"]),
+            ml_params=ml,
+            convergence_info=conv,
+            retained_genes=strings(top["retained_genes"]),
+            correlations=(
+                array(top["correlations"]).ravel()
+                if unwrap(top.get("correlations")) is not None
+                else np.asarray([])
+            ),
+            clone_names=clone_names,
+            clone_probs_from_snv=array(snv) if unwrap(snv) is not None else None,
+            multirun_info=multirun,
+        )
+
     @staticmethod
     def _load_multirun_info(z):
         if "mr__elbos" not in z.files:

@@ -76,6 +76,7 @@ SECTIONS = [
         "clonealign_tpu.io.rds.read_rds",
         "clonealign_tpu.io.rds.write_rds",
         "clonealign_tpu.fit.ClonealignFit.save_rds",
+        "clonealign_tpu.fit.ClonealignFit.load_rds",
     ]),
     ("Synthetic data", [
         "clonealign_tpu.synth.simulate_model3",

@@ -220,6 +220,102 @@ class TestSaveRdsFit:
         by = dict(zip(names, back.value))
         assert unwrap(by["clone_probs_from_snv"]) is None
 
+    def test_load_rds_round_trips_the_fit(self, fit, tmp_path):
+        from clonealign_tpu.fit import ClonealignFit
+
+        p = str(tmp_path / "fit.rds")
+        fit.save_rds(p)
+        back = ClonealignFit.load_rds(p)
+        assert back.clone == list(fit.clone)
+        assert back.clone_names == list(fit.clone_names)
+        assert back.retained_genes == [str(g) for g in fit.retained_genes]
+        assert set(back.ml_params) == set(fit.ml_params)
+        for k in fit.ml_params:
+            np.testing.assert_allclose(
+                back.ml_params[k],
+                np.asarray(fit.ml_params[k], np.float64),
+                err_msg=k,
+            )
+        assert back.convergence_info.final_elbo == pytest.approx(
+            fit.convergence_info.final_elbo
+        )
+        assert back.convergence_info.n_iters == fit.convergence_info.n_iters
+        np.testing.assert_allclose(
+            back.multirun_info["elbos"], np.asarray(fit.multirun_info["elbos"])
+        )
+        assert back.multirun_info["best_run"] == fit.multirun_info["best_run"]
+        assert (
+            back.multirun_info["clone_prevalences_at_different_shrinks"]
+            == fit.multirun_info["clone_prevalences_at_different_shrinks"]
+        )
+        # the loaded fit supports the downstream surface
+        from clonealign_tpu import recompute_clone_assignment
+
+        re = recompute_clone_assignment(back, 0.5)
+        assert len(re.clone) == len(fit.clone)
+        assert repr(back) == repr(fit)
+
+    def test_load_rds_accepts_r_native_layout(self, tmp_path):
+        """A fit saved by the ORIGINAL R package has no n_iters slot, a
+        1-based best_run, and clone names only in clone_probs dimnames
+        (reference R/clonealign.R:286,303; R/inference-tflow.R:459-461) —
+        load_rds must reconstruct from that layout alone."""
+        from clonealign_tpu.fit import ClonealignFit
+
+        rng = np.random.default_rng(0)
+        N, G, C = 7, 5, 3
+        gamma = rng.dirichlet(np.ones(C), size=N)
+        clone_names = ["A", "B", "C"]
+        clones = [clone_names[i] for i in gamma.argmax(1)]
+        trace = np.linspace(-100.0, -90.0, 13)
+        r_fit = RObj(
+            {
+                "clone": np.asarray(clones, dtype=np.str_),
+                "ml_params": {
+                    "clone_probs": RObj(gamma, {"dimnames": RObj([None, clone_names])}),
+                    "mu": rng.uniform(0.5, 2.0, G),
+                    "s": rng.uniform(100, 200, N),
+                    "alpha": np.asarray([0.3, 0.3, 0.4]),
+                    "psi": rng.normal(size=(N, 1)),
+                    "W": rng.normal(size=(G, 1)),
+                    "chi": np.asarray([1.0]),
+                },
+                "convergence_info": {
+                    "final_elbo": -90.0,
+                    "sd_final_elbo": 0.25,
+                    "elbo": trace,
+                },
+                "retained_genes": np.asarray([f"g{i}" for i in range(G)], np.str_),
+                "correlations": rng.uniform(-1, 1, G),
+                "clone_probs_from_snv": None,
+                "multirun_info": {
+                    "elbos": np.asarray([-95.0, -90.0]),
+                    "clone_prevalences_at_different_shrinks": [
+                        RObj(np.asarray([4, 3], np.int32), {"names": ["A", "B"]}),
+                        RObj(np.asarray([7], np.int32), {"names": ["C"]}),
+                    ],
+                    "median_correlations": np.asarray([0.1, 0.2]),
+                    "initial_shrinks": np.asarray([0.0, 5.0]),
+                    "best_run": 2,  # R's 1-based index
+                },
+            },
+            {"class": ["clonealign_fit"]},
+        )
+        p = str(tmp_path / "rfit.rds")
+        write_rds(r_fit, p)
+        fit = ClonealignFit.load_rds(p)
+        assert fit.clone == clones
+        assert fit.clone_names == clone_names
+        np.testing.assert_allclose(fit.ml_params["clone_probs"], gamma)
+        assert fit.ml_params["W"].shape == (G, 1)
+        assert fit.convergence_info.n_iters == trace.size - 1  # derived
+        assert fit.clone_probs_from_snv is None
+        assert fit.multirun_info["best_run"] == 1  # back to 0-based
+        assert fit.multirun_info["clone_prevalences_at_different_shrinks"][0] == {
+            "A": 4,
+            "B": 3,
+        }
+
 
 def test_uint64_above_int64_max_exports_exact_double():
     """A uint64 past int64 max must not wrap negative on the way to R's
