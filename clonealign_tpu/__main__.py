@@ -84,6 +84,23 @@ def _load_cnv(path: str):
     return L, names
 
 
+def _load_fit(path: str):
+    """A saved fit: .npz (this package) or .rds (R's saveRDS, either the
+    original package's output or :meth:`ClonealignFit.save_rds`)."""
+    from .fit import ClonealignFit
+
+    if path.endswith(".rds"):
+        return ClonealignFit.load_rds(path)
+    return ClonealignFit.load(path)
+
+
+def _save_fit(fit, path: str) -> None:
+    if path.endswith(".rds"):
+        fit.save_rds(path)
+    else:
+        fit.save(path)
+
+
 def cmd_fit(args) -> int:
     from . import clonealign, run_clonealign
 
@@ -118,7 +135,7 @@ def cmd_fit(args) -> int:
     else:
         fit = clonealign(Y, cnv_input, **common)
 
-    fit.save(args.out)
+    _save_fit(fit, args.out)
     if not args.quiet:
         import collections
 
@@ -133,10 +150,9 @@ def cmd_assign(args) -> int:
     """Serve: assign new cells against a saved fit (no refit)."""
     import collections
 
-    from .fit import ClonealignFit
     from .serve import assign_cells
 
-    fit = ClonealignFit.load(args.fit)
+    fit = _load_fit(args.fit)
     Y, _genes, cell_names = _load_counts(args.counts, args.transpose)
     L, _names = _load_cnv(args.cnv)
     clones, probs = assign_cells(
@@ -157,9 +173,7 @@ def cmd_assign(args) -> int:
 
 
 def cmd_show(args) -> int:
-    from .fit import ClonealignFit
-
-    fit = ClonealignFit.load(args.fit)
+    fit = _load_fit(args.fit)
     import collections
 
     print(fit)
@@ -198,7 +212,7 @@ def main(argv=None) -> int:
     p_fit = sub.add_parser("fit", help="assign cells to clones")
     p_fit.add_argument("--counts", required=True, help=".mtx[.gz], CellRanger dir, .h5ad, 10x .h5, .npz, or CSV (cells x genes)")
     p_fit.add_argument("--cnv", required=True, help="CSV (header = clone names) or .npz copy-number matrix (genes x clones)")
-    p_fit.add_argument("--out", required=True, help="output fit .npz")
+    p_fit.add_argument("--out", required=True, help="output fit (.npz, or .rds for R's readRDS)")
     p_fit.add_argument("--transpose", action="store_true", help="counts file is genes x cells (e.g. raw .mtx from CellRanger)")
     p_fit.add_argument("--preprocess", action="store_true", help="run preprocess_for_clonealign first")
     p_fit.add_argument("--restarts", type=int, default=1)
@@ -217,7 +231,7 @@ def main(argv=None) -> int:
     p_fit.set_defaults(fn=cmd_fit)
 
     p_as = sub.add_parser("assign", help="assign NEW cells against a saved fit (no refit)")
-    p_as.add_argument("--fit", required=True, help="fit .npz produced by `fit`")
+    p_as.add_argument("--fit", required=True, help="fit .npz produced by `fit`, or a .rds fit (incl. the R package's saveRDS output)")
     p_as.add_argument("--counts", required=True, help="new cells' counts over the fit's retained genes")
     p_as.add_argument("--cnv", required=True, help="copy numbers over the fit's retained genes")
     p_as.add_argument("--out", required=True, help="output assignments .npz")
@@ -232,7 +246,7 @@ def main(argv=None) -> int:
     p_as.set_defaults(fn=cmd_assign)
 
     p_show = sub.add_parser("show", help="summarize a saved fit")
-    p_show.add_argument("fit", help="fit .npz produced by `fit`")
+    p_show.add_argument("fit", help="fit .npz produced by `fit`, or a .rds fit (incl. the R package's saveRDS output)")
     p_show.set_defaults(fn=cmd_show)
 
     p_info = sub.add_parser("info", help="backend / device / native-loader status")

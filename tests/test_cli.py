@@ -55,6 +55,36 @@ def test_cli_fit_show_info(cli_files, capsys):
     assert "clonealign-tpu" in capsys.readouterr().out
 
 
+def test_cli_rds_fit_out_and_show(cli_files, capsys):
+    """`fit --out fit.rds` writes an R-readable fit; `show`/`assign --fit`
+    accept .rds directly (reference users' saveRDS files work unchanged)."""
+    d, sim = cli_files
+    rc = main([
+        "fit", "--counts", str(d / "counts.mtx.gz"), "--cnv", str(d / "cnv.csv"),
+        "--out", str(d / "fit.rds"), "--transpose", "--max-iter", "30",
+        "--seed", "1", "--quiet",
+    ])
+    assert rc == 0
+
+    rc = main(["show", str(d / "fit.rds")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "clone_counts" in out and "final_elbo" in out
+
+    rc = main([
+        "assign", "--fit", str(d / "fit.rds"),
+        "--counts", str(d / "counts.mtx.gz"), "--cnv", str(d / "cnv.csv"),
+        "--out", str(d / "assign.npz"), "--transpose", "--quiet",
+    ])
+    assert rc == 0
+    z = np.load(d / "assign.npz")
+    acc = assignment_accuracy(
+        [str(c) for c in z["clone"]], [str(c) for c in z["clone_names"]],
+        sim.clone_idx,
+    )
+    assert acc > 0.9
+
+
 def test_cli_missing_file(cli_files):
     d, _ = cli_files
     with pytest.raises((FileNotFoundError, OSError, ValueError)):
