@@ -191,8 +191,15 @@ class ClonealignFit:
         can be re-thresholded (:func:`recompute_clone_assignment`), printed,
         plotted, and served against (:func:`clonealign_tpu.serve.assign_cells`)
         without an R runtime. Clone names come from ``clone_probs``'s column
-        dimnames (reference R/clonealign.R:286)."""
-        from .io.rds import RObj, read_rds, unwrap
+        dimnames (reference R/clonealign.R:286).
+
+        Also accepts the v1-era layout of the bundled
+        ``example_clonealign_fit.rda`` (slots ``clone``, ``ml_params``,
+        ``log_lik``, ``retained_genes``, ``basis_means`` — the pre-v2
+        negative-binomial model): ``convergence_info`` is synthesized from
+        the ``log_lik`` trace and the extra ML parameters (``phi``, ``a``,
+        ``b``, ``basis_means``) are kept in ``ml_params``."""
+        from .io.rds import RObj, read_rda, read_rds, unwrap
 
         def named(o, what):
             names = o.attr("names") if isinstance(o, RObj) else None
@@ -211,7 +218,24 @@ class ClonealignFit:
         def strings(o):
             return [str(s) for s in unwrap(o)] if unwrap(o) is not None else []
 
-        obj = read_rds(path)
+        if path.endswith((".rda", ".RData", ".Rdata")):
+            # workspace save (e.g. the bundled example_clonealign_fit.rda):
+            # take the clonealign_fit-classed object, or the only object
+            objs = read_rda(path)
+            fits = {
+                k: v
+                for k, v in objs.items()
+                if isinstance(v, RObj) and v.rclass == ["clonealign_fit"]
+            }
+            pool = fits or objs
+            if len(pool) != 1:
+                raise ValueError(
+                    f"{path}: workspace holds {sorted(objs)} — expected exactly "
+                    "one clonealign_fit object"
+                )
+            (obj,) = pool.values()
+        else:
+            obj = read_rds(path)
         if isinstance(obj, RObj) and obj.rclass not in (None, ["clonealign_fit"]):
             raise ValueError(
                 f"{path}: R object has class {obj.rclass}, not clonealign_fit"
@@ -230,19 +254,35 @@ class ClonealignFit:
         else:  # unnamed matrix: fall back to observed labels
             clone_names = sorted(set(strings(top["clone"])) - {"unassigned"})
 
-        ci = named(top["convergence_info"], "convergence_info")
-        trace = array(ci["elbo"]).ravel() if "elbo" in ci else np.asarray([])
-        conv = ConvergenceInfo(
-            final_elbo=float(array(ci["final_elbo"]).ravel()[0]),
-            sd_final_elbo=float(array(ci["sd_final_elbo"]).ravel()[0]),
-            elbo=trace,
-            # R fits carry no n_iters slot; the trace is initial + one/iter
-            n_iters=(
-                int(array(ci["n_iters"]).ravel()[0])
-                if "n_iters" in ci
-                else max(trace.size - 1, 0)
-            ),
-        )
+        if "convergence_info" in top:
+            ci = named(top["convergence_info"], "convergence_info")
+            trace = array(ci["elbo"]).ravel() if "elbo" in ci else np.asarray([])
+            conv = ConvergenceInfo(
+                final_elbo=float(array(ci["final_elbo"]).ravel()[0]),
+                sd_final_elbo=float(array(ci["sd_final_elbo"]).ravel()[0]),
+                elbo=trace,
+                # R fits carry no n_iters slot; the trace is initial + one/iter
+                n_iters=(
+                    int(array(ci["n_iters"]).ravel()[0])
+                    if "n_iters" in ci
+                    else max(trace.size - 1, 0)
+                ),
+            )
+        elif "log_lik" in top:  # v1 layout: per-iteration log-lik trace only
+            trace = array(top["log_lik"]).ravel()
+            if unwrap(top.get("basis_means")) is not None:
+                ml["basis_means"] = array(top["basis_means"]).ravel()
+            conv = ConvergenceInfo(
+                final_elbo=float(trace[-1]) if trace.size else float("nan"),
+                sd_final_elbo=float("nan"),
+                elbo=trace,
+                n_iters=max(trace.size - 1, 0),
+            )
+        else:
+            raise ValueError(
+                f"{path}: no convergence_info or log_lik slot — "
+                "not a clonealign fit layout this loader knows"
+            )
 
         multirun = None
         if unwrap(top.get("multirun_info")) is not None:

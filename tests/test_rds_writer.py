@@ -5,6 +5,7 @@ test_rds_roundtrip.py), and ``ClonealignFit.save_rds`` must export the slot
 layout the reference builds in R (reference R/clonealign.R:286,303)."""
 
 import gzip
+import os
 
 import numpy as np
 import pytest
@@ -315,6 +316,32 @@ class TestSaveRdsFit:
             "A": 4,
             "B": 3,
         }
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/data"), reason="reference data not mounted"
+)
+def test_load_rds_reads_the_reference_bundled_fit():
+    """The REAL R-serialized artifact: the reference's bundled
+    example_clonealign_fit.rda (a v1-era fit with clone/ml_params/log_lik/
+    retained_genes/basis_means slots, saved by R itself — not by our
+    writer). load_rds must ingest it, synthesize convergence_info from the
+    log_lik trace, and support print + re-thresholding."""
+    from clonealign_tpu import recompute_clone_assignment
+    from clonealign_tpu.fit import ClonealignFit
+
+    fit = ClonealignFit.load_rds("/root/reference/data/example_clonealign_fit.rda")
+    assert len(fit.clone) == 200
+    assert fit.clone_names == ["A", "B", "C"]  # from clone_probs dimnames
+    assert fit.ml_params["clone_probs"].shape == (200, 3)
+    assert fit.ml_params["phi"].shape == (200, 3, 100)  # v1 NB dispersion kept
+    assert fit.ml_params["basis_means"].shape == (20,)
+    assert len(fit.retained_genes) == 100
+    assert fit.convergence_info.n_iters == 5  # 6-point log_lik trace
+    assert np.isfinite(fit.convergence_info.final_elbo)
+    assert "200 cells, 100 genes, and 3 clones" in repr(fit)
+    re = recompute_clone_assignment(fit, 0.99)
+    assert len(re.clone) == 200
 
 
 def test_uint64_above_int64_max_exports_exact_double():
