@@ -27,6 +27,14 @@ def main():
                     help="ingest counts as scipy CSR (no host densification)")
     ap.add_argument("--impl", default="auto", choices=("auto", "z_cheb"),
                     help="likelihood backend (z_cheb: Chebyshev normalizer)")
+    ap.add_argument("--batching", default="map", choices=("map", "vmap"),
+                    help="restart batching probe knob. Measured (v5e, "
+                    "results_tpu_r3.jsonl probe z_cheb_vmap_at_scale): with "
+                    "z_cheb the vmapped sweep COMPILES at 500k x 2k (its "
+                    "per-lane working set is O(N*C*D), not O(N*G)) but loses "
+                    "to the sequential map at every lane count (10.13 vs "
+                    "6.87 s at 10 restarts) - Y-read sharing does not pay "
+                    "at this size, so 'map' stays the default")
     args = ap.parse_args()
 
     import jax
@@ -78,7 +86,10 @@ def main():
                 remat=N * G > (1 << 30),
             )
             return r.final_elbo, jnp.argmax(r.params.gamma_logits, axis=1)
-        elbos, assign = jax.lax.map(one_fit, keys)
+        if args.batching == "vmap":
+            elbos, assign = jax.vmap(one_fit)(keys)
+        else:
+            elbos, assign = jax.lax.map(one_fit, keys)
         best = jnp.argmax(elbos)
         return elbos, assign[best]
 
@@ -96,7 +107,8 @@ def main():
     acc = float((a == np.asarray(z)).mean())
     print(json.dumps({
         "metric": f"scale test {N}x{G}x{C}, {R} restarts, single chip, {ingest}"
-        + ("" if args.impl == "auto" else f", {args.impl}"),
+        + ("" if args.impl == "auto" else f", {args.impl}")
+        + ("" if args.batching == "map" else ", vmap restarts"),
         "elapsed_s": round(elapsed, 2),
         "cells_per_sec": round(N * R / elapsed, 1),
         "accuracy": acc,
