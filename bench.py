@@ -138,7 +138,7 @@ def main():
     # if any count exceeds int8 range) and quarter the HBM traffic of f32.
     # Assignments verified identical to the f32 path at this scale.
     data = mm.prepare_data(Y, L, dtype=dtype, y_storage=jnp.int8)
-    # z_cheb: the Chebyshev log-normalizer (models/multinomial.py) — 1.63x
+    # z_cheb: the Chebyshev log-normalizer (models/multinomial.py) — 2.7x
     # over the exact path with assignment agreement 1.0, ground-truth
     # accuracy 1.0, per-lane final ELBOs within 5.1e-5, and converged-fit
     # parity vs the f64 oracle at 1.6-2.9e-5 (results_tpu_r3.jsonl).

@@ -29,12 +29,13 @@ def main():
                     help="likelihood backend (z_cheb: Chebyshev normalizer)")
     ap.add_argument("--batching", default="map", choices=("map", "vmap"),
                     help="restart batching probe knob. Measured (v5e, "
-                    "results_tpu_r3.jsonl probe z_cheb_vmap_at_scale): with "
-                    "z_cheb the vmapped sweep COMPILES at 500k x 2k (its "
-                    "per-lane working set is O(N*C*D), not O(N*G)) but loses "
-                    "to the sequential map at every lane count (10.13 vs "
-                    "6.87 s at 10 restarts) - Y-read sharing does not pay "
-                    "at this size, so 'map' stays the default")
+                    "results_tpu_r3.jsonl probes z_cheb_vmap_at_scale + "
+                    "cheb_custom_vjp): with z_cheb the vmapped sweep runs "
+                    "at 500k x 2k (its per-lane working set is O(N*C*D), "
+                    "not O(N*G)) but still loses to the sequential map "
+                    "(5.15 vs 3.95 s at 10 restarts, custom-VJP era) - "
+                    "Y-read sharing does not pay at this size, so 'map' "
+                    "stays the default")
     args = ap.parse_args()
 
     import jax

@@ -574,6 +574,77 @@ def _compute_Z(params: CloneAlignParams, data: ModelData, mu_samples: jax.Array)
     return jnp.sum(mL, axis=2)[:, :, None] * jnp.ones((1, 1, N), mu_samples.dtype)
 
 
+def _clenshaw(coef: jax.Array, x: jax.Array) -> jax.Array:
+    """sum_j coef[..., j] T_j(x_n) via the Clenshaw recurrence.
+
+    coef: (S, C, D+1), x: (N,) in [-1, 1] -> (S, C, N).
+    """
+    D = coef.shape[-1] - 1
+    two_x = 2.0 * x[None, None, :]
+    b1 = jnp.zeros(coef.shape[:2] + x.shape, x.dtype)
+    b2 = b1
+    for j in range(D, 0, -1):
+        b1, b2 = two_x * b1 - b2 + coef[..., j : j + 1], b1
+    return x[None, None, :] * b1 - b2 + coef[..., 0:1]
+
+
+@jax.custom_vjp
+def cheb_eval(coef: jax.Array, x: jax.Array) -> jax.Array:
+    """Chebyshev-series evaluation with an analytic, residual-free VJP.
+
+    Under plain autodiff the D-step Clenshaw recurrence saves every
+    intermediate (S, C, N) carry for the backward pass — 2D residual
+    tensors, e.g. 640 MB written + read PER STEP at N=500k, D=32, C=10
+    (measured as the reason likelihood_impl='z_cheb' fell BEHIND the exact
+    normalizer at 500k x 2k on v5e: probe step_attribution_500k,
+    benchmarks/results_tpu_r3.jsonl). A Chebyshev series is analytically
+    differentiable, so the VJP recomputes instead of storing:
+
+    * d/dx: differentiate the Clenshaw recurrence itself (carry (b, b')
+      pairs) — a second fused elementwise chain, no residuals;
+    * d/dcoef[..., j] = sum_n cot[..., n] T_j(x_n) — one thin
+      (S*C, N) x (N, D+1) matmul against the Chebyshev-Vandermonde
+      columns, rebuilt on the fly by the T_j recurrence.
+    """
+    return _clenshaw(coef, x)
+
+
+def _cheb_eval_fwd(coef, x):
+    return _clenshaw(coef, x), (coef, x)
+
+
+def _cheb_eval_bwd(res, cot):
+    coef, x = res
+    D = coef.shape[-1] - 1
+    xb = x[None, None, :]
+    two_x = 2.0 * xb
+    zero = jnp.zeros(coef.shape[:2] + x.shape, x.dtype)
+    b1, b2, db1, db2 = zero, zero, zero, zero
+    for j in range(D, 0, -1):
+        b1, b2, db1, db2 = (
+            two_x * b1 - b2 + coef[..., j : j + 1],
+            b1,
+            2.0 * b1 + two_x * db1 - db2,
+            db1,
+        )
+    # p = x b1 - b2 + c0  =>  dp/dx = b1 + x b1' - b2'
+    dpdx = b1 + xb * db1 - db2  # (S, C, N)
+    dx = jnp.sum(cot * dpdx, axis=(0, 1))  # (N,)
+
+    cols = [jnp.ones_like(x), x]
+    for _ in range(2, D + 1):
+        cols.append(2.0 * x * cols[-1] - cols[-2])
+    V = jnp.stack(cols, axis=-1)  # (N, D+1)
+    # full precision: the cotangent contraction feeds the optimizer's
+    # coefficient gradients directly (same rationale as the A-group pin)
+    with jax.default_matmul_precision("highest"):
+        dcoef = jnp.einsum("scn,nj->scj", cot, V)
+    return dcoef, dx
+
+
+cheb_eval.defvjp(_cheb_eval_fwd, _cheb_eval_bwd)
+
+
 def _compute_logZ_cheb(params: CloneAlignParams, data: ModelData,
                        mu_samples: jax.Array, degree: int):
     """log Z[s,c,n] for K=1, P=0 by Chebyshev approximation over psi.
@@ -628,13 +699,8 @@ def _compute_logZ_cheb(params: CloneAlignParams, data: ModelData,
     coef = coef.at[..., 0].mul(0.5)
     coef = coef.at[..., 0].add(f0[..., 0])
 
-    x = ((psi - mid) / half)[None, None, :]             # (1, 1, N)
-    two_x = 2.0 * x
-    b1 = jnp.zeros(coef.shape[:2] + (psi.shape[0],), dt)
-    b2 = b1
-    for j in range(degree, 0, -1):
-        b1, b2 = two_x * b1 - b2 + coef[..., j : j + 1], b1
-    return x * b1 - b2 + coef[..., 0:1]                 # (S, C, N)
+    x = (psi - mid) / half                              # (N,)
+    return cheb_eval(coef, x)                           # (S, C, N)
 
 
 def _use_z_cheb(config: "ModelConfig") -> bool:

@@ -99,3 +99,42 @@ def test_z_cheb_validation():
     with pytest.raises(ValueError, match="z_cheb"):
         cfg = mm.ModelConfig(K=1, P=2, likelihood_impl="z_cheb")
         mm._use_z_cheb(cfg)
+
+
+def test_cheb_eval_custom_vjp_matches_autodiff():
+    """cheb_eval's analytic VJP (derivative recurrence + Vandermonde matmul)
+    must equal plain autodiff through the Clenshaw loop, alone and vmapped."""
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3 = jax.random.split(key, 3)
+    S, C, D, N = 2, 4, 16, 37
+    coef = jax.random.normal(k1, (S, C, D + 1), jnp.float64)
+    x = jnp.tanh(jax.random.normal(k2, (N,), jnp.float64))  # inside [-1, 1]
+    cot_seed = jax.random.normal(k3, (S, C, N), jnp.float64)
+
+    def loss_custom(coef, x):
+        return jnp.sum(cot_seed * jnp.sin(mm.cheb_eval(coef, x)))
+
+    def loss_auto(coef, x):
+        return jnp.sum(cot_seed * jnp.sin(mm._clenshaw(coef, x)))
+
+    np.testing.assert_allclose(
+        float(loss_custom(coef, x)), float(loss_auto(coef, x)), rtol=1e-12
+    )
+    gc = jax.grad(loss_custom, argnums=(0, 1))(coef, x)
+    ga = jax.grad(loss_auto, argnums=(0, 1))(coef, x)
+    np.testing.assert_allclose(np.asarray(gc[0]), np.asarray(ga[0]), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(gc[1]), np.asarray(ga[1]), rtol=1e-10)
+
+    # vmapped (the restart-sweep path): per-lane coef AND per-lane x
+    R = 3
+    coefs = jax.random.normal(k1, (R, S, C, D + 1), jnp.float64)
+    xs = jnp.tanh(jax.random.normal(k2, (R, N), jnp.float64))
+
+    def lane_loss(f):
+        def one(coef, x):
+            return jnp.sum(jnp.cos(f(coef, x)))
+        return jnp.sum(jax.vmap(one)(coefs, xs))
+
+    gvc = jax.grad(lambda c: lane_loss(mm.cheb_eval))(coefs)
+    gva = jax.grad(lambda c: lane_loss(mm._clenshaw))(coefs)
+    np.testing.assert_allclose(np.asarray(gvc), np.asarray(gva), rtol=1e-10)
