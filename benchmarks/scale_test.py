@@ -83,8 +83,11 @@ def main():
                 elbo_eval="reuse", loop_impl="scan", unroll=4,
                 # remat only when the gene-blocked Z path kicks in (storing
                 # per-block exp residuals would defeat the blocking); below
-                # that threshold storing the forward intermediates is faster
-                remat=N * G > (1 << 30),
+                # that threshold storing the forward intermediates is faster.
+                # z_cheb never gene-blocks (its normalizer is the Chebyshev
+                # node table + Clenshaw, no N x G exp residuals), so remat
+                # there only re-runs cheap work.
+                remat=args.impl != "z_cheb" and N * G > (1 << 30),
             )
             return r.final_elbo, jnp.argmax(r.params.gamma_logits, axis=1)
         if args.batching == "vmap":
