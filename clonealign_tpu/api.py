@@ -369,7 +369,7 @@ def _fit_program(
     progress,
     loop_impl="while",
     unroll=1,
-    remat=True,
+    remat="auto",
 ):
     """The fully-jitted fit: init (PCA included) + warm start + Adam loop +
     final ELBO estimate.
@@ -440,7 +440,7 @@ def clonealign(
     likelihood_impl: str = "auto",
     loop_impl: str = "while",
     unroll: int = 1,
-    remat: bool = True,
+    remat="auto",
 ) -> ClonealignFit:
     """Assign scRNA-seq cells to clones of origin by variational inference.
 

@@ -86,7 +86,7 @@ def run_inference(
     window_size: int = 10,
     n_final_elbo_samples: int = 20,
     extra_log_lik: Optional[jax.Array] = None,
-    remat: bool = True,
+    remat="auto",
     elbo_eval: str = "fresh",
     progress: bool = False,
     loop_impl: str = "while",
@@ -140,10 +140,15 @@ def run_inference(
     def loss_fn(p, k):
         return -mm.elbo(p, data, k, config, extra_log_lik)
 
+    if remat == "auto":
+        # The exact likelihood's backward otherwise stores several N x G
+        # intermediates (rfe and friends — 2 GB each at 100k x 5k f32), so
+        # remat pays for itself. z_cheb has no N x G residuals at all (its
+        # normalizer is a G x (D+1) node table + Clenshaw with an analytic
+        # VJP), so remat only re-runs cheap work: measured 1M x 2k sweep
+        # 10.0 s with remat vs 6.96 s without (benchmarks/results_tpu_r3.jsonl).
+        remat = not mm._use_z_cheb(config)
     if remat:
-        # Recompute the N x G intermediates (rfe and friends) in the backward
-        # pass instead of storing them — at 100k x 5k each is 2 GB in f32, and
-        # without remat the grad step holds several at once (HBM-bound).
         loss_fn = jax.checkpoint(loss_fn)
 
     def active(st: _LoopState):

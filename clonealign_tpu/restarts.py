@@ -37,6 +37,7 @@ from .models import multinomial as mm
         "restart_batching",
         "loop_impl",
         "unroll",
+        "remat",
     ),
 )
 def _sweep_program(
@@ -56,6 +57,7 @@ def _sweep_program(
     restart_batching,
     loop_impl="while",
     unroll=1,
+    remat="auto",
 ):
     """The whole restart sweep as ONE jitted program. Module-level with
     static config so repeat sweeps on same-shaped data reuse the compiled
@@ -74,6 +76,7 @@ def _sweep_program(
             max_iter=max_iter, rel_tol=rel_tol, learning_rate=learning_rate,
             initial_shrink=shrink, extra_log_lik=extra_log_lik,
             elbo_eval=elbo_eval, loop_impl=loop_impl, unroll=unroll,
+            remat=remat,
         )
 
     if restart_batching == "vmap":
@@ -116,6 +119,7 @@ def run_clonealign(
     restart_batching: str = "auto",
     loop_impl: str = "while",
     unroll: int = 1,
+    remat="auto",
     multirun_correlations: Optional[bool] = None,
     **kwargs,
 ):
@@ -129,7 +133,10 @@ def run_clonealign(
     across a TPU slice. ``restart_batching``: "vmap" batches every restart
     into one program (fastest, memory ~ R x one fit); "map" runs restarts
     sequentially on-device (memory ~ one fit; best at very large N x G);
-    "auto" (default) picks by problem size.
+    "auto" (default) picks by problem size. ``remat``: "auto" (default)
+    rematerializes the backward only for the exact likelihood, which stores
+    N x G intermediates; z_cheb has none, so it skips the recompute
+    (measured 1.4x at 1M cells). Pass True/False to force.
     """
     verbose = kwargs.get("verbose", True)
     ctx = setup_fit(gene_expression_data, copy_number_data, **kwargs)
@@ -180,6 +187,7 @@ def run_clonealign(
         restart_batching=restart_batching,
         loop_impl=loop_impl,
         unroll=unroll,
+        remat=remat,
     )
 
     final_elbos = np.asarray(results.final_elbo)

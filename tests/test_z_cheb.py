@@ -138,3 +138,25 @@ def test_cheb_eval_custom_vjp_matches_autodiff():
     gvc = jax.grad(lambda c: lane_loss(mm.cheb_eval))(coefs)
     gva = jax.grad(lambda c: lane_loss(mm._clenshaw))(coefs)
     np.testing.assert_allclose(np.asarray(gvc), np.asarray(gva), rtol=1e-10)
+
+
+def test_remat_auto_resolution_and_equivalence(setup):
+    """remat="auto" skips jax.checkpoint under z_cheb (no N x G residuals to
+    save) and keeps it for the exact path; either way the results agree to
+    f64 rounding — checkpoint only changes WHEN intermediates are computed
+    (recompute re-fuses, so the last few bits can differ)."""
+    sim, _, _ = setup
+    from clonealign_tpu import clonealign
+
+    fits = {}
+    for remat in ("auto", True, False):
+        fits[remat] = clonealign(
+            sim.Y, sim.L, max_iter=25, seed=11, verbose=False,
+            likelihood_impl="z_cheb", dtype="float64", remat=remat,
+        )
+    ref = fits["auto"].convergence_info.final_elbo
+    for remat in (True, False):
+        np.testing.assert_allclose(
+            fits[remat].convergence_info.final_elbo, ref, rtol=1e-12
+        )
+        assert fits[remat].clone == fits["auto"].clone
