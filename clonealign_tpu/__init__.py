@@ -15,6 +15,11 @@ Public API (mirrors the reference's exported surface, NAMESPACE:3-7):
 - :func:`preprocess_for_clonealign` — gene/cell filtering
 - :func:`plot_clonealign` — CNV-vs-expression diagnostic plot
 - :func:`recompute_clone_assignment` — re-threshold clone calls
+
+Plus the legacy v1 model family (negative-binomial dosage mixture, whose
+inference code the reference deleted in v2 — see ``models/negbin.py``):
+
+- :func:`inference_em` — variational-EM fit of the v1 model
 """
 
 from .api import clonealign, saturate
@@ -26,6 +31,7 @@ from .assign import (
 )
 from .cnv import align_expression_to_cnv, cnv_regions_to_genes
 from .fit import ClonealignFit, ConvergenceInfo
+from .models.negbin import ClonealignV1Fit, inference_em
 from .preprocess import preprocess_for_clonealign
 from .restarts import run_clonealign
 from .serve import assign_cells
@@ -46,6 +52,8 @@ __all__ = [
     "saturate",
     "ClonealignFit",
     "ConvergenceInfo",
+    "inference_em",
+    "ClonealignV1Fit",
     "__version__",
 ]
 

@@ -49,6 +49,13 @@ SECTIONS = [
         "clonealign_tpu.models.allele.construct_ai_likelihood",
         "clonealign_tpu.models.allele.beta_binomial_log_prob",
     ]),
+    ("Legacy v1 family (negative-binomial dosage mixture)", [
+        "clonealign_tpu.models.negbin.inference_em",
+        "clonealign_tpu.models.negbin.run_negbin_em",
+        "clonealign_tpu.models.negbin.prepare_negbin_data",
+        "clonealign_tpu.models.negbin.nb_log_prob",
+        "clonealign_tpu.models.negbin.ClonealignV1Fit",
+    ]),
     ("Inference engine", [
         "clonealign_tpu.infer.run_inference",
         "clonealign_tpu.infer.tf1_adam",

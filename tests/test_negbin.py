@@ -1,0 +1,155 @@
+"""The legacy v1 model family (models/negbin.py): NB log-pmf correctness,
+E-step math vs a brute-force (N, G, C) oracle, and ground-truth recovery on
+the reference's own generative spec (inst/create_model3_synthetic.R:3-29)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clonealign_tpu.models import negbin as nb
+
+pytestmark = pytest.mark.slow
+from clonealign_tpu.synth import simulate_model3
+
+
+def test_nb_log_prob_vs_scipy():
+    from scipy import stats
+
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 50, 200).astype(np.float64)
+    mean = rng.uniform(0.5, 40, 200)
+    phi = rng.uniform(0.2, 10, 200)
+    # scipy parametrization: n = size = phi, p = phi / (phi + mean)
+    expected = stats.nbinom.logpmf(y, phi, phi / (phi + mean))
+    got = np.asarray(nb.nb_log_prob(jnp.asarray(y), jnp.asarray(mean),
+                                    jnp.asarray(phi)))
+    np.testing.assert_allclose(got, expected, rtol=1e-10)
+
+
+@pytest.fixture(scope="module")
+def small():
+    sim = simulate_model3(N=60, G=40, C=3, seed=7)
+    data = nb.prepare_negbin_data(sim.Y, sim.L, dtype=jnp.float64)
+    params = nb.init_negbin_params(data, jnp.float64)
+    rng = np.random.default_rng(1)
+    gamma = rng.dirichlet(np.ones(3), 60)
+    r = rng.uniform(0.1, 0.9, 40)
+    post = nb.NegbinPosterior(gamma=jnp.asarray(gamma), r=jnp.asarray(r))
+    return sim, data, params, post
+
+
+def _llk_tensor(params, data):
+    """Brute-force (N, G, C) clone-conditional log-lik minus llk0 — what
+    _accumulate avoids materializing."""
+    beta = np.exp(np.asarray(params.log_beta))
+    phi = np.exp(np.asarray(params.log_phi))
+    Y = np.asarray(data.Y)
+    s = np.asarray(data.s)
+    Lp = np.asarray(data.Lp)
+    llk0 = np.asarray(nb._llk0(params, data))
+    D = np.empty((Y.shape[0], Y.shape[1], Lp.shape[1]))
+    for c in range(Lp.shape[1]):
+        mean_c = s[:, None] * (beta * Lp[:, c])[None, :]
+        D[:, :, c] = np.asarray(
+            nb.nb_log_prob(jnp.asarray(Y), jnp.asarray(mean_c),
+                           jnp.asarray(phi)[None, :])
+        ) - llk0
+    return llk0, D
+
+
+def test_accumulate_vs_oracle(small):
+    _, data, params, post = small
+    llk0_j = nb._llk0(params, data)
+    A, B = nb._accumulate(params, data, llk0_j, post.r, post.gamma)
+    llk0, D = _llk_tensor(params, data)
+
+    A_expected = np.einsum("ngc,g->nc", D, np.asarray(post.r))
+    B_expected = np.einsum("ngc,nc->g", D, np.asarray(post.gamma))
+    np.testing.assert_allclose(np.asarray(A), A_expected, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(B), B_expected, rtol=1e-9)
+
+
+def test_expected_llk_vs_oracle(small):
+    _, data, params, post = small
+    got = float(nb._expected_llk(params, data, post))
+    llk0, D = _llk_tensor(params, data)
+    r = np.asarray(post.r)
+    gamma = np.asarray(post.gamma)
+    llk1 = D + llk0[:, :, None]
+    expected = float(
+        np.sum((1 - r)[None, :] * llk0)
+        + np.einsum("nc,g,ngc->", gamma, r, llk1)
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-9)
+
+
+def test_recovery_on_model3():
+    """The headline contract: on the reference's own generative spec the
+    fit recovers clones, the dosage indicator, and the rate parameters."""
+    sim = simulate_model3(N=500, G=200, C=3, seed=2345234)
+    fit = nb.inference_em(sim.Y, sim.L, max_iter=100, verbose=False)
+
+    name_to_idx = {c: i for i, c in enumerate(fit.clone_names)}
+    called = np.array([name_to_idx.get(c, -1) for c in fit.clone])
+    mask = called >= 0
+    assert mask.mean() > 0.97          # nearly all cells confidently assigned
+    acc = (called[mask] == sim.clone_idx[mask]).mean()
+    assert acc > 0.98
+
+    rho_hat = (fit.rho_probs > 0.5).astype(int)
+    assert (rho_hat == sim.rho).mean() > 0.85
+
+    r0 = sim.rho == 0
+    assert np.corrcoef(fit.mu[r0], sim.mu[r0])[0, 1] > 0.95
+    r1 = sim.rho == 1
+    assert np.corrcoef(fit.beta[r1], sim.mu[r1])[0, 1] > 0.95  # beta = mu in the spec
+
+    # ELBO increases over the fit and the trace is finite where recorded
+    assert fit.elbo_trace[-1] > fit.elbo_trace[0]
+    assert np.isfinite(fit.elbo_trace).all()
+
+
+def test_determinism():
+    sim = simulate_model3(N=100, G=50, C=3, seed=11)
+    f1 = nb.inference_em(sim.Y, sim.L, max_iter=15, verbose=False)
+    f2 = nb.inference_em(sim.Y, sim.L, max_iter=15, verbose=False)
+    assert f1.final_elbo == f2.final_elbo
+    assert f1.clone == f2.clone
+    np.testing.assert_array_equal(f1.rho_probs, f2.rho_probs)
+
+
+def test_rho_init_and_prior():
+    """rho_init (the script's warm start, inst/create_model3_synthetic.R:104)
+    and an informative rho prior both steer the indicator posterior."""
+    sim = simulate_model3(N=120, G=60, C=3, seed=3)
+    warm = nb.inference_em(sim.Y, sim.L, max_iter=20, rho_init=sim.rho,
+                           verbose=False)
+    rho_hat = (warm.rho_probs > 0.5).astype(int)
+    assert (rho_hat == sim.rho).mean() > 0.8
+
+    skewed = nb.inference_em(sim.Y, sim.L, max_iter=5, rho_prior=0.99,
+                             verbose=False)
+    flat = nb.inference_em(sim.Y, sim.L, max_iter=5, rho_prior=0.01,
+                           verbose=False)
+    assert skewed.rho_probs.mean() > flat.rho_probs.mean()
+
+
+def test_validation_errors():
+    with pytest.raises(ValueError, match="matching G"):
+        nb.prepare_negbin_data(np.ones((5, 4)), np.ones((3, 2)))
+    with pytest.raises(ValueError, match="nonzero"):
+        Y = np.ones((4, 3))
+        Y[2] = 0
+        nb.prepare_negbin_data(Y, np.ones((3, 2)))
+
+
+def test_public_export_and_repr():
+    import clonealign_tpu as ca
+
+    assert ca.inference_em is nb.inference_em
+    sim = simulate_model3(N=50, G=30, C=2, seed=5)
+    fit = ca.inference_em(sim.Y, sim.L, max_iter=5, verbose=False)
+    text = repr(fit)
+    assert "clonealign_v1" in text and "50 cells" in text and "2 clones" in text
+    assert isinstance(fit, ca.ClonealignV1Fit)
