@@ -31,7 +31,13 @@ from .assign import (
 )
 from .cnv import align_expression_to_cnv, cnv_regions_to_genes
 from .fit import ClonealignFit, ConvergenceInfo
-from .models.negbin import ClonealignV1Fit, inference_em
+from .models.negbin import (
+    ClonealignV1Fit,
+    clone_probs_from_gibbs,
+    gibbs_pi_rho,
+    inference_em,
+    rho_probs_from_gibbs,
+)
 from .preprocess import preprocess_for_clonealign
 from .restarts import run_clonealign
 from .serve import assign_cells
@@ -53,6 +59,9 @@ __all__ = [
     "ClonealignFit",
     "ConvergenceInfo",
     "inference_em",
+    "gibbs_pi_rho",
+    "clone_probs_from_gibbs",
+    "rho_probs_from_gibbs",
     "ClonealignV1Fit",
     "__version__",
 ]

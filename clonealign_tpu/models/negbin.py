@@ -330,6 +330,108 @@ def run_negbin_em(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("n_iter", "rho_prior"))
+def _gibbs_program(data: NegbinData, params: NegbinParams, key,
+                   pi0, rho0, *, n_iter: int, rho_prior: float):
+    logit_prior = jnp.log(rho_prior) - jnp.log1p(-rho_prior)
+    log_alpha = jax.nn.log_softmax(params.alpha_logits)
+    C = data.Lp.shape[1]
+
+    def sweep(state, key):
+        pi, rho = state
+        k_pi, k_rho = jax.random.split(key)
+        llk0 = _llk0(params, data)
+        onehot = jax.nn.one_hot(pi, C, dtype=llk0.dtype)
+        # pi | rho: categorical over clones with the rho-gated likelihood
+        A, _ = _accumulate(params, data, llk0, rho, onehot)
+        pi = jax.random.categorical(k_pi, log_alpha[None, :] + A, axis=1)
+        # rho | pi: per-gene Bernoulli with the pi-conditioned odds
+        onehot = jax.nn.one_hot(pi, C, dtype=llk0.dtype)
+        _, B = _accumulate(params, data, llk0, rho, onehot)
+        rho = jax.random.bernoulli(
+            k_rho, jax.nn.sigmoid(logit_prior + B)
+        ).astype(llk0.dtype)
+        return (pi, rho), (pi, rho)
+
+    keys = jax.random.split(key, n_iter)
+    _, (pi_trace, rho_trace) = jax.lax.scan(sweep, (pi0, rho0), keys)
+    return pi_trace, rho_trace
+
+
+def gibbs_pi_rho(
+    Y,
+    L,
+    *,
+    params: Optional[NegbinParams] = None,
+    n_iter: int = 20,
+    rho_init=None,
+    pi_init=None,
+    rho_prior: float = 0.5,
+    s=None,
+    seed: int = 0,
+    key=None,
+    dtype=jnp.float32,
+):
+    """Collapsed Gibbs sweep over (pi_n, rho_g) — the reference's deleted
+    `gibbs_pi_rho(rho, data, params, n_iter)` (called at
+    inst/create_model3_synthetic.R:45), rebuilt TPU-native.
+
+    Each sweep samples every cell's clone jointly (one categorical over the
+    rho-gated log-likelihood — cells are conditionally independent given
+    rho) and every gene's dosage indicator jointly (Bernoulli given the new
+    assignments) — two clone-scans per sweep, no (N, G, C) tensor, the whole
+    chain one ``lax.scan`` under jit. ``params`` defaults to the moment
+    initialization; pass a :class:`NegbinParams` (e.g. from a
+    :func:`run_negbin_em` fit) to sample under fitted rates.
+
+    Returns ``{"pi_trace": (n_iter, N), "rho_trace": (n_iter, G)}`` as
+    NumPy arrays, the shape the script's trace-consumers expect.
+    """
+    data = prepare_negbin_data(Y, L, s=s, dtype=dtype)
+    if params is None:
+        params = init_negbin_params(data, dtype)
+    if key is None:
+        key = jax.random.PRNGKey(int(seed))
+    N = data.Y.shape[0]
+    G, C = data.Lp.shape
+    key, k_pi0 = jax.random.split(key)
+    pi0 = (jax.random.randint(k_pi0, (N,), 0, C) if pi_init is None
+           else jnp.asarray(pi_init, jnp.int32))
+    rho0 = (jnp.full((G,), 0.5, dtype) if rho_init is None
+            else jnp.asarray(rho_init, dtype))
+    pi_trace, rho_trace = _gibbs_program(
+        data, params, key, pi0, rho0,
+        n_iter=int(n_iter), rho_prior=float(rho_prior),
+    )
+    return {
+        "pi_trace": np.asarray(pi_trace),
+        "rho_trace": np.asarray(rho_trace),
+    }
+
+
+def clone_probs_from_gibbs(pi_trace, C: int, burn_in: int = 0) -> np.ndarray:
+    """(N, C) clone frequencies over the trace (the reference's deleted
+    `clone_probs_from_gibbs(pi_traces, C)`,
+    inst/create_model3_synthetic.R:46)."""
+    pi_trace = np.asarray(pi_trace)[burn_in:]
+    if pi_trace.ndim != 2 or pi_trace.shape[0] == 0:
+        raise ValueError("pi_trace must be (n_iter, N) with n_iter > burn_in")
+    counts = np.stack([(pi_trace == c).mean(axis=0) for c in range(C)], axis=1)
+    return counts
+
+
+def rho_probs_from_gibbs(rho_trace, burn_in: int = 0) -> np.ndarray:
+    """(G, 2) posterior [P(rho=0), P(rho=1)] over the trace (the
+    reference's deleted `rho_probs_from_gibbs(traces$rho_trace)`,
+    inst/create_model3_synthetic.R:51 — the script takes a per-gene
+    `which.max` over its two columns)."""
+    rho_trace = np.asarray(rho_trace)[burn_in:]
+    if rho_trace.ndim != 2 or rho_trace.shape[0] == 0:
+        raise ValueError("rho_trace must be (n_iter, G) with n_iter > burn_in")
+    p1 = rho_trace.mean(axis=0)
+    return np.stack([1 - p1, p1], axis=1)
+
+
 @dataclass
 class ClonealignV1Fit:
     """Fit object for the legacy family — the v1 analog of the v2

@@ -54,6 +54,9 @@ SECTIONS = [
         "clonealign_tpu.models.negbin.run_negbin_em",
         "clonealign_tpu.models.negbin.prepare_negbin_data",
         "clonealign_tpu.models.negbin.nb_log_prob",
+        "clonealign_tpu.models.negbin.gibbs_pi_rho",
+        "clonealign_tpu.models.negbin.clone_probs_from_gibbs",
+        "clonealign_tpu.models.negbin.rho_probs_from_gibbs",
         "clonealign_tpu.models.negbin.ClonealignV1Fit",
     ]),
     ("Inference engine", [

@@ -8,9 +8,9 @@ import numpy as np
 import pytest
 
 from clonealign_tpu.models import negbin as nb
+from clonealign_tpu.synth import simulate_model3
 
 pytestmark = pytest.mark.slow
-from clonealign_tpu.synth import simulate_model3
 
 
 def test_nb_log_prob_vs_scipy():
@@ -153,3 +153,46 @@ def test_public_export_and_repr():
     text = repr(fit)
     assert "clonealign_v1" in text and "50 cells" in text and "2 clones" in text
     assert isinstance(fit, ca.ClonealignV1Fit)
+
+
+def test_gibbs_recovers_clones_under_true_params():
+    """The script's first experiment (inst/create_model3_synthetic.R:45-52):
+    Gibbs under the TRUE parameters and true-rho init recovers the clone
+    assignment and the dosage indicator."""
+    sim = simulate_model3(N=300, G=120, C=3, seed=99)
+    data = nb.prepare_negbin_data(sim.Y, sim.L, s=sim.s, dtype=jnp.float64)
+    params = nb.NegbinParams(
+        log_mu=jnp.log(jnp.asarray(sim.mu)),
+        log_beta=jnp.log(jnp.asarray(sim.mu)),  # beta = mu in the spec
+        log_phi=jnp.log(jnp.asarray(sim.phi)),
+        alpha_logits=jnp.zeros(3, jnp.float64),
+    )
+    traces = nb.gibbs_pi_rho(
+        sim.Y, sim.L, params=params, n_iter=20, rho_init=sim.rho,
+        s=sim.s, seed=4, dtype=jnp.float64,
+    )
+    assert traces["pi_trace"].shape == (20, 300)
+    assert traces["rho_trace"].shape == (20, 120)
+
+    cp = nb.clone_probs_from_gibbs(traces["pi_trace"], 3, burn_in=5)
+    np.testing.assert_allclose(cp.sum(axis=1), 1.0, atol=1e-12)
+    acc = (cp.argmax(axis=1) == sim.clone_idx).mean()
+    assert acc > 0.95
+
+    rp = nb.rho_probs_from_gibbs(traces["rho_trace"], burn_in=5)
+    assert rp.shape == (120, 2)
+    rho_mle = rp.argmax(axis=1)  # the script's which.max
+    assert (rho_mle == sim.rho).mean() > 0.85
+
+
+def test_gibbs_validation_and_determinism():
+    sim = simulate_model3(N=50, G=30, C=2, seed=6)
+    t1 = nb.gibbs_pi_rho(sim.Y, sim.L, n_iter=5, seed=3)
+    t2 = nb.gibbs_pi_rho(sim.Y, sim.L, n_iter=5, seed=3)
+    np.testing.assert_array_equal(t1["pi_trace"], t2["pi_trace"])
+    np.testing.assert_array_equal(t1["rho_trace"], t2["rho_trace"])
+
+    with pytest.raises(ValueError, match="burn_in"):
+        nb.clone_probs_from_gibbs(t1["pi_trace"], 2, burn_in=5)
+    with pytest.raises(ValueError, match="burn_in"):
+        nb.rho_probs_from_gibbs(t1["rho_trace"], burn_in=9)
