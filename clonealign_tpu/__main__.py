@@ -126,6 +126,7 @@ def cmd_fit(args) -> int:
         seed=args.seed,
         verbose=not args.quiet,
         y_storage=None if args.y_storage == "float32" else args.y_storage,
+        likelihood_impl=args.likelihood_impl,
     )
     if args.restarts > 1:
         fit = run_clonealign(
@@ -226,6 +227,13 @@ def main(argv=None) -> int:
         choices=["auto", "int8", "int16", "bfloat16", "float32"],
         help="device storage for the count matrix; 'auto' (default) picks "
         "the narrowest EXACT integer dtype (docs/performance.md)",
+    )
+    p_fit.add_argument(
+        "--likelihood-impl", default="auto",
+        choices=["auto", "xla", "fused", "z_cheb"],
+        help="ELBO backend: 'auto' (exact, default), or 'z_cheb' — the "
+        "Chebyshev log-normalizer throughput backend (docs/performance.md; "
+        "K=1, no covariates)",
     )
     p_fit.add_argument("--quiet", action="store_true")
     p_fit.set_defaults(fn=cmd_fit)

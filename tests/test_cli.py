@@ -55,6 +55,25 @@ def test_cli_fit_show_info(cli_files, capsys):
     assert "clonealign-tpu" in capsys.readouterr().out
 
 
+def test_cli_fit_z_cheb_impl(cli_files, tmp_path):
+    """--likelihood-impl z_cheb reaches the Chebyshev backend from the CLI
+    and still recovers the clones."""
+    d, sim = cli_files
+    rc = main([
+        "fit", "--counts", str(d / "counts.mtx.gz"), "--cnv", str(d / "cnv.csv"),
+        "--out", str(tmp_path / "fit_cheb.npz"), "--transpose",
+        "--max-iter", "30", "--seed", "1", "--quiet",
+        "--likelihood-impl", "z_cheb",
+    ])
+    assert rc == 0
+
+    from clonealign_tpu.fit import ClonealignFit
+
+    fit = ClonealignFit.load(str(tmp_path / "fit_cheb.npz"))
+    acc = assignment_accuracy(fit.clone, fit.clone_names, sim.clone_idx)
+    assert acc > 0.9
+
+
 def test_cli_rds_fit_out_and_show(cli_files, capsys):
     """`fit --out fit.rds` writes an R-readable fit; `show`/`assign --fit`
     accept .rds directly (reference users' saveRDS files work unchanged)."""

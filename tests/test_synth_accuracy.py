@@ -27,6 +27,28 @@ def test_model3_generator_spec():
     assert set(np.unique(sim.rho)) <= {0, 1}
 
 
+def test_model3_mixture_sampler_matches_nb_moments():
+    """sampler='mixture' is the gamma-Poisson representation of the SAME
+    NB(mean, size) law — per-gene means and variances must agree with the
+    direct sampler within sampling noise (the structural draws — rho, pi,
+    mu, phi, L, s — share the seed stream, so the conditional NB means are
+    identical array-for-array)."""
+    a = simulate_model3(N=3000, G=40, C=3, seed=123, sampler="nb")
+    b = simulate_model3(N=3000, G=40, C=3, seed=123, sampler="mixture")
+    for x, y in ((a.rho, b.rho), (a.mu, b.mu), (a.phi, b.phi),
+                 (a.s, b.s), (a.clone_idx, b.clone_idx), (a.L, b.L)):
+        np.testing.assert_array_equal(x, y)
+    # NB mean per gene: average over cells of s_n * rate; both samplers see
+    # the same means, so their empirical gene means must agree to a few %
+    ma, mb = a.Y.mean(axis=0), b.Y.mean(axis=0)
+    np.testing.assert_allclose(ma, mb, rtol=0.15)
+    # variance is mean + mean^2/phi (overdispersed) — compare log-variances
+    va, vb = a.Y.var(axis=0), b.Y.var(axis=0)
+    np.testing.assert_allclose(np.log(va + 1), np.log(vb + 1), rtol=0.1)
+    with pytest.raises(ValueError):
+        simulate_model3(N=10, G=5, C=2, seed=0, sampler="bogus")
+
+
 def test_recovers_clones_well_specified():
     sim = simulate_multinomial(N=150, G=100, C=3, seed=1, mean_total=2000)
     fit = clonealign(sim.Y, sim.L, max_iter=100, seed=0, verbose=False)
