@@ -94,7 +94,16 @@ def _llk0(params: NegbinParams, data: NegbinData):
     return nb_log_prob(data.Y, data.s[:, None] * mu[None, :], phi[None, :])
 
 
-def _accumulate(params: NegbinParams, data: NegbinData, llk0, gene_w, cell_w):
+class _NBConsts(NamedTuple):
+    """Parameter-independent reductions of Y, computed once per fit."""
+    lgamma_y1_sum: jax.Array   # sum_ng lgamma(y + 1)
+
+
+def _nb_constants(data: NegbinData) -> _NBConsts:
+    return _NBConsts(lgamma_y1_sum=jnp.sum(gammaln(data.Y + 1.0)))
+
+
+def _accumulate(params: NegbinParams, data: NegbinData, gene_w, cell_w):
     """Single clone-scan computing both E-step accumulators without an
     (N, G, C) intermediate:
 
@@ -102,49 +111,107 @@ def _accumulate(params: NegbinParams, data: NegbinData, llk0, gene_w, cell_w):
       B[g]    = sum_c cell_w[n, c]-weighted column sums of D_c
                                                (r update, cell_w = gamma)
 
-    with D_c = llk1_c - llk0.
+    with D_c = llk1_c - llk0. Every gammaln in the two NB log-pmfs cancels
+    in that difference, leaving
+
+      D_c = (y + phi) * log((phi + m0) / (phi + m1_c)) + y * q_c,
+      q_c[g] = log(beta_g Lp[g,c]) - log mu_g          (cell-independent),
+
+    so the clone scan pays exactly one transcendental — log(phi + m1_c) —
+    per element per clone instead of 2 gammaln + 2 log. D_c is assembled
+    ELEMENTWISE (q_c broadcast into the fused expression, not hoisted into
+    a separate Y @ (w*q) matmul): near the optimum the two parts cancel to
+    small residuals per element, and keeping the cancellation inside the
+    fusion keeps both the f32 forward values and the autodiff cotangents
+    (y - (y+phi) m_c/(phi+m_c), netted per element) at residual scale
+    instead of big-sum-minus-big-sum scale. It also keeps the only dots
+    (N,G)-by-vector matvecs, which XLA lowers off the MXU at full f32.
     """
     beta = jnp.exp(params.log_beta)
     phi = jnp.exp(params.log_phi)
     C = data.Lp.shape[1]
 
+    m0 = data.s[:, None] * jnp.exp(params.log_mu)[None, :]
+    log_pm0 = jnp.log(phi[None, :] + m0)
+    Yp = data.Y + phi[None, :]
+    q = (params.log_beta[:, None] + jnp.log(data.Lp)
+         - params.log_mu[:, None])                # (G, C)
+
     def one_clone(B, c):
-        mean_c = data.s[:, None] * (beta * data.Lp[:, c])[None, :]
-        D_c = nb_log_prob(data.Y, mean_c, phi[None, :]) - llk0
+        log_pm1 = jnp.log(
+            phi[None, :] + data.s[:, None] * (beta * data.Lp[:, c])[None, :]
+        )
+        D_c = Yp * (log_pm0 - log_pm1) + data.Y * q[:, c][None, :]
         A_col = D_c @ gene_w                      # (N,)
         B = B + cell_w[:, c] @ D_c                # (G,)
         return B, A_col
 
-    B0 = jnp.zeros(data.Lp.shape[0], llk0.dtype)
+    B0 = jnp.zeros(data.Lp.shape[0], data.Y.dtype)
     B, A_cols = jax.lax.scan(one_clone, B0, jnp.arange(C))
     return A_cols.T, B                            # (N, C), (G,)
 
 
-def _expected_llk(params: NegbinParams, data: NegbinData, post: NegbinPosterior):
+def _llk0_sum(params: NegbinParams, data: NegbinData, consts: _NBConsts):
+    """sum_ng log NB(y | s_n mu_g, phi_g) with the y-independent gammalns
+    reduced out: gammaln(phi) is a per-gene sum and gammaln(y+1) a
+    precomputed constant, so only one gammaln — gammaln(y+phi), which the
+    phi gradient genuinely needs — survives per element. The y*log(m0)
+    term stays ELEMENTWISE (log m0 = log s + log mu by broadcast add, no
+    transcendental) so the log_mu cotangent nets y - (y+phi) m0/(phi+m0)
+    per element instead of colsum(Y) minus a separately-summed sigma term
+    (big-minus-big is f32 gradient noise; see _accumulate's docstring)."""
+    phi = jnp.exp(params.log_phi)
+    m0 = data.s[:, None] * jnp.exp(params.log_mu)[None, :]
+    log_m0 = jnp.log(data.s)[:, None] + params.log_mu[None, :]
+    Yp = data.Y + phi[None, :]
+    N = data.Y.shape[0]
+    core = gammaln(Yp) - Yp * jnp.log(phi[None, :] + m0) + data.Y * log_m0
+    return (
+        jnp.sum(core)
+        - N * jnp.sum(gammaln(phi))
+        - consts.lgamma_y1_sum
+        + N * jnp.sum(phi * params.log_phi)
+    )
+
+
+def _expected_llk(params: NegbinParams, data: NegbinData,
+                  post: NegbinPosterior, consts: Optional[_NBConsts] = None):
     """E_q[log p(Y | pi, rho, params)] — the M-step objective's data term.
 
     = sum_ng (1 - r_g) llk0_ng + sum_c sum_ng gamma_nc r_g llk1_c[n, g]
     = sum_ng llk0_ng + sum_g r_g * B_g   with B from the gamma-weighted scan.
     """
-    llk0 = _llk0(params, data)
-    _, B = _accumulate(params, data, llk0, post.r, post.gamma)
-    return jnp.sum(llk0) + jnp.dot(post.r, B)
+    if consts is None:
+        consts = _nb_constants(data)
+    _, B = _accumulate(params, data, post.r, post.gamma)
+    return _llk0_sum(params, data, consts) + jnp.dot(post.r, B)
 
 
 def _mstep_objective(params: NegbinParams, data: NegbinData,
-                     post: NegbinPosterior, lam):
+                     post: NegbinPosterior, lam,
+                     consts: Optional[_NBConsts] = None):
     """Penalized expected log-likelihood (per-gene L-BFGS analog,
     reference inst/create_model3_synthetic.R:62-75)."""
     mu = jnp.exp(params.log_mu)
     beta = jnp.exp(params.log_beta)
     penalty = lam * jnp.sum((mu - beta * data.l_hat) ** 2)
-    return _expected_llk(params, data, post) - penalty
+    return _expected_llk(params, data, post, consts) - penalty
 
 
 def _elbo(params: NegbinParams, data: NegbinData, post: NegbinPosterior,
-          lam, rho_prior):
+          lam, rho_prior, consts: Optional[_NBConsts] = None):
     """Mean-field ELBO: E[log p(Y, pi, rho)] + H(q) - penalty. The loop's
     convergence monitor (the v1 script's `rel_tol`)."""
+    return (
+        _mstep_objective(params, data, post, lam, consts)
+        + _elbo_extras(params, data, post, rho_prior)
+    )
+
+
+def _elbo_extras(params: NegbinParams, data: NegbinData,
+                 post: NegbinPosterior, rho_prior):
+    """The ELBO minus the penalized expected log-likelihood: clone/dosage
+    priors plus the mean-field entropies (no Y-sized work)."""
     log_alpha = jax.nn.log_softmax(params.alpha_logits)
     gamma, r = post.gamma, post.r
     eps_entropy = jnp.where(gamma > 0, gamma * jnp.log(jnp.clip(gamma, 1e-30)), 0.0)
@@ -157,10 +224,7 @@ def _elbo(params: NegbinParams, data: NegbinData, post: NegbinPosterior,
     prior_rho = jnp.sum(
         r * jnp.log(rho_prior) + (1 - r) * jnp.log1p(-rho_prior)
     )
-    return (
-        _mstep_objective(params, data, post, lam)
-        + prior_pi + prior_rho + h_gamma + h_r
-    )
+    return prior_pi + prior_rho + h_gamma + h_r
 
 
 def prepare_negbin_data(Y, L, s=None, dtype=jnp.float32) -> NegbinData:
@@ -263,17 +327,30 @@ def run_negbin_em(
     opt_state = opt.init((params.log_mu, params.log_beta, params.log_phi))
 
     logit_prior = jnp.log(rho_prior) - jnp.log1p(-rho_prior)
+    consts = _nb_constants(data)
 
     def estep(params, post):
-        llk0 = _llk0(params, data)
         log_alpha = jax.nn.log_softmax(params.alpha_logits)
         # gamma from current r
-        A, _ = _accumulate(params, data, llk0, post.r, post.gamma)
+        A, _ = _accumulate(params, data, post.r, post.gamma)
         gamma = jax.nn.softmax(log_alpha[None, :] + A, axis=1)
         # r from the NEW gamma (proper CAVI ordering)
-        _, B = _accumulate(params, data, llk0, post.r, gamma)
+        _, B = _accumulate(params, data, post.r, gamma)
         r = jax.nn.sigmoid(logit_prior + B)
-        return NegbinPosterior(gamma=gamma, r=r)
+        # B is exactly _expected_llk's gamma-weighted scan for the new
+        # posterior, so the caller can assemble the ELBO without re-running
+        # the clone scan.
+        return NegbinPosterior(gamma=gamma, r=r), B
+
+    def elbo_from_B(params, post, B):
+        penalty = lam * jnp.sum(
+            (jnp.exp(params.log_mu)
+             - jnp.exp(params.log_beta) * data.l_hat) ** 2
+        )
+        return (
+            _llk0_sum(params, data, consts) + jnp.dot(post.r, B) - penalty
+            + _elbo_extras(params, data, post, rho_prior)
+        )
 
     def mstep(params, opt_state, post):
         # closed-form alpha (exact M-step for the clone prior)
@@ -283,7 +360,7 @@ def run_negbin_em(
         def loss(rates):
             p = params._replace(log_mu=rates[0], log_beta=rates[1],
                                 log_phi=rates[2])
-            return -_mstep_objective(p, data, post, lam)
+            return -_mstep_objective(p, data, post, lam, consts)
 
         def one_step(carry, _):
             rates, opt_state = carry
@@ -299,8 +376,8 @@ def run_negbin_em(
         return params._replace(log_mu=rates[0], log_beta=rates[1],
                                log_phi=rates[2]), opt_state
 
-    post = estep(params, post)
-    elbo0 = _elbo(params, data, post, lam, rho_prior)
+    post, B0 = estep(params, post)
+    elbo0 = elbo_from_B(params, post, B0)
     trace = jnp.full((max_iter + 1,), jnp.nan, data.Y.dtype).at[0].set(elbo0)
     window = jnp.full((window_size,), 1e3, data.Y.dtype)
 
@@ -309,8 +386,8 @@ def run_negbin_em(
 
     def body(st: _EMState):
         params, opt_state = mstep(st.params, st.opt_state, st.post)
-        post = estep(params, st.post)
-        e = _elbo(params, data, post, lam, rho_prior)
+        post, B = estep(params, st.post)
+        e = elbo_from_B(params, post, B)
         prev = st.trace[st.i]
         rel = (e - prev) / jnp.abs(prev)
         return _EMState(
@@ -340,17 +417,17 @@ def _gibbs_program(data: NegbinData, params: NegbinParams, key,
     def sweep(state, key):
         pi, rho = state
         k_pi, k_rho = jax.random.split(key)
-        llk0 = _llk0(params, data)
-        onehot = jax.nn.one_hot(pi, C, dtype=llk0.dtype)
+        dtype = data.Y.dtype
+        onehot = jax.nn.one_hot(pi, C, dtype=dtype)
         # pi | rho: categorical over clones with the rho-gated likelihood
-        A, _ = _accumulate(params, data, llk0, rho, onehot)
+        A, _ = _accumulate(params, data, rho, onehot)
         pi = jax.random.categorical(k_pi, log_alpha[None, :] + A, axis=1)
         # rho | pi: per-gene Bernoulli with the pi-conditioned odds
-        onehot = jax.nn.one_hot(pi, C, dtype=llk0.dtype)
-        _, B = _accumulate(params, data, llk0, rho, onehot)
+        onehot = jax.nn.one_hot(pi, C, dtype=dtype)
+        _, B = _accumulate(params, data, rho, onehot)
         rho = jax.random.bernoulli(
             k_rho, jax.nn.sigmoid(logit_prior + B)
-        ).astype(llk0.dtype)
+        ).astype(dtype)
         return (pi, rho), (pi, rho)
 
     keys = jax.random.split(key, n_iter)
