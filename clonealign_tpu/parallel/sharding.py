@@ -129,6 +129,44 @@ def constrain_params(params: mm.CloneAlignParams, mesh: Mesh, batched: bool = Fa
     return jax.tree.map(jax.lax.with_sharding_constraint, params, shardings)
 
 
+def negbin_data_shardings(mesh: Mesh):
+    """PartitionSpecs for the legacy v1 family's NegbinData pytree
+    (models/negbin.py). Same layout logic as the v2 model: Y tiles over
+    (cells, genes); per-gene vectors (Lp rows, l_hat) over genes; per-cell
+    size factors over cells. The EM's accumulators contract Y over genes
+    (gamma/A) and over cells (r/B), so GSPMD inserts psums on both axes."""
+    from ..models import negbin as nb
+
+    return nb.NegbinData(
+        Y=NamedSharding(mesh, P(CELL_AXIS, GENE_AXIS)),
+        Lp=NamedSharding(mesh, P(GENE_AXIS, None)),
+        s=NamedSharding(mesh, P(CELL_AXIS)),
+        l_hat=NamedSharding(mesh, P(GENE_AXIS)),
+    )
+
+
+def sharded_negbin_fit(
+    Y,
+    L,
+    mesh: Mesh,
+    rho_init=None,
+    s=None,
+    dtype=jnp.float32,
+    **em_kwargs,
+):
+    """Legacy v1 negative-binomial VEM fit on a device mesh: the count
+    matrix tiles over (cells, genes) and the whole EM
+    (:func:`~clonealign_tpu.models.negbin.run_negbin_em`) runs as one
+    jitted GSPMD program — gamma shards over cells, r over genes, rates
+    replicated. Returns the same :class:`NegbinResult` as the
+    single-device fit (numerically equivalent; tests/test_sharding.py)."""
+    from ..models import negbin as nb
+
+    data = nb.prepare_negbin_data(Y, L, s=s, dtype=dtype)
+    data = jax.tree.map(jax.device_put, data, negbin_data_shardings(mesh))
+    return nb.run_negbin_em(data, rho_init, **em_kwargs)
+
+
 def sharded_fit(
     Y,
     L,

@@ -67,6 +67,8 @@ SECTIONS = [
         "clonealign_tpu.parallel.sharding.make_mesh",
         "clonealign_tpu.parallel.sharding.shard_data",
         "clonealign_tpu.parallel.sharding.sharded_fit",
+        "clonealign_tpu.parallel.sharding.sharded_negbin_fit",
+        "clonealign_tpu.parallel.sharding.negbin_data_shardings",
         "clonealign_tpu.parallel.sharding.param_shardings",
         "clonealign_tpu.parallel.distributed.initialize",
         "clonealign_tpu.parallel.distributed.host_local_to_global",

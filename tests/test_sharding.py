@@ -276,3 +276,83 @@ def test_sharded_fit_sparse_input(sim):
         np.asarray(jnp.argmax(r_sparse.params.gamma_logits, axis=-1)),
         np.asarray(jnp.argmax(r_dense.params.gamma_logits, axis=-1)),
     )
+
+
+def test_sharded_negbin_fit_matches_single_device():
+    """The legacy v1 NB VEM runs as one GSPMD program on the mesh and
+    agrees with the single-device fit. Exact-trajectory equality is not the
+    bar: Adam's m/(sqrt(v)+eps) normalization amplifies reassociation-level
+    (1e-8) differences on near-zero-gradient coordinates, so mid-run ELBOs
+    legitimately diverge and re-converge. What must hold: the FIRST E-step +
+    ELBO (pre-Adam) to reassociation precision, and the CONVERGED posterior
+    (assignments, dosage mask, gamma, final ELBO) across the mesh."""
+    from clonealign_tpu.models import negbin as nb
+    from clonealign_tpu.parallel.sharding import (
+        negbin_data_shardings,
+        sharded_negbin_fit,
+    )
+    from clonealign_tpu.synth import simulate_model3
+
+    sim = simulate_model3(N=64, G=48, C=4, seed=21)
+    kwargs = dict(max_iter=150, rel_tol=1e-9)
+
+    data = nb.prepare_negbin_data(sim.Y, sim.L, dtype=jnp.float64)
+    r_single = nb.run_negbin_em(data, **kwargs)
+
+    mesh = make_mesh(gene_parallelism=2)
+    r_mesh = sharded_negbin_fit(sim.Y, sim.L, mesh, dtype=jnp.float64, **kwargs)
+
+    # first E-step + ELBO: pure program equivalence, no optimizer chaos
+    np.testing.assert_allclose(
+        np.asarray(r_mesh.elbo_trace)[0], np.asarray(r_single.elbo_trace)[0],
+        rtol=1e-9,
+    )
+    # converged state
+    g_mesh = np.asarray(r_mesh.post.gamma)
+    g_single = np.asarray(r_single.post.gamma)
+    np.testing.assert_array_equal(g_mesh.argmax(1), g_single.argmax(1))
+    np.testing.assert_array_equal(
+        np.asarray(r_mesh.post.r) > 0.5, np.asarray(r_single.post.r) > 0.5
+    )
+    np.testing.assert_allclose(g_mesh, g_single, atol=1e-5)
+    np.testing.assert_allclose(
+        float(r_mesh.final_elbo), float(r_single.final_elbo), rtol=1e-4
+    )
+
+    # the count matrix must actually be tiled over the 4x2 mesh
+    sharded = jax.tree.map(
+        jax.device_put, data, negbin_data_shardings(mesh)
+    )
+    shards = sharded.Y.addressable_shards
+    assert len(shards) == 8
+    assert shards[0].data.shape == (64 // 4, 48 // 2)
+
+
+def test_negbin_hlo_no_data_replication():
+    """Communication audit for the v1 family: the EM program lowered on the
+    mesh must not gather the full N x G count matrix onto any device, and
+    the cross-shard contractions must show up as all-reduces."""
+    from clonealign_tpu.models import negbin as nb
+    from clonealign_tpu.parallel.sharding import negbin_data_shardings
+    from clonealign_tpu.synth import simulate_model3
+
+    sim = simulate_model3(N=64, G=48, C=4, seed=21)
+    N, G = sim.Y.shape
+    mesh = make_mesh(gene_parallelism=2)
+    data = nb.prepare_negbin_data(sim.Y, sim.L, dtype=jnp.float32)
+    data = jax.tree.map(jax.device_put, data, negbin_data_shardings(mesh))
+
+    hlo = (
+        nb.run_negbin_em.lower(data, None, max_iter=4)
+        .compile()
+        .as_text()
+    )
+    full_shapes = [f"[{N},{G}]", f"[{G},{N}]"]
+    for line in hlo.splitlines():
+        if any(c in line for c in ("all-gather", "all-to-all", "collective-permute")):
+            for shp in full_shapes:
+                assert shp not in line, f"collective materializes full Y:\n{line}"
+        if "constant" in line:
+            for shp in full_shapes:
+                assert shp not in line, f"full Y baked as constant:\n{line}"
+    assert "all-reduce" in hlo, "expected cross-shard reductions are missing"
