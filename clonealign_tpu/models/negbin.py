@@ -227,12 +227,44 @@ def _elbo_extras(params: NegbinParams, data: NegbinData,
     return prior_pi + prior_rho + h_gamma + h_r
 
 
-def prepare_negbin_data(Y, L, s=None, dtype=jnp.float32) -> NegbinData:
+def prepare_negbin_data(Y, L, s=None, dtype=jnp.float32,
+                        chunk: int = 32_768) -> NegbinData:
     """Normalize L to the script's Lp = L / colMeans(L) (reference
     inst/create_model3_synthetic.R:17) and default size factors to row sums
-    (the multiplicative cell scale; mu/beta absorb the global factor)."""
-    Y = jnp.asarray(Y, dtype)
+    (the multiplicative cell scale; mu/beta absorb the global factor).
+
+    ``Y`` may be a scipy CSR/CSC matrix: the totals come from the sparse
+    structure and the device copy is assembled from row chunks at the
+    target dtype, so peak host memory is O(nnz + chunk x G) — a 1M x 2k
+    count matrix never exists densely on the host (same contract as the
+    v2 path's ``prepare_data_sparse``)."""
+    from ..utils.sparsity import is_scipy_sparse
+
     L = jnp.asarray(L, dtype)
+    if is_scipy_sparse(Y):
+        Ysp = Y.tocsr()
+        N, G = Ysp.shape
+        if L.ndim != 2 or G != L.shape[0]:
+            raise ValueError(
+                f"Y must be (N, G) and L (G, C) with matching G; got "
+                f"{Ysp.shape} and {L.shape}"
+            )
+        totals = np.asarray(Ysp.sum(axis=1)).ravel()
+        if (totals == 0).any():
+            raise ValueError("all cells must have nonzero counts")
+        parts = [
+            jnp.asarray(Ysp[i: i + chunk].toarray().astype(np.dtype(dtype)))
+            for i in range(0, N, chunk)
+        ]
+        Yd = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        if s is None:
+            s = jnp.asarray(totals / totals.mean(), dtype)
+        else:
+            s = jnp.asarray(s, dtype)
+        Lp = L / jnp.mean(L, axis=0, keepdims=True)
+        return NegbinData(Y=Yd, Lp=Lp, s=s, l_hat=jnp.mean(Lp, axis=1))
+
+    Y = jnp.asarray(Y, dtype)
     if Y.ndim != 2 or L.ndim != 2 or Y.shape[1] != L.shape[0]:
         raise ValueError(
             f"Y must be (N, G) and L (G, C) with matching G; got "

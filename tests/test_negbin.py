@@ -198,3 +198,28 @@ def test_gibbs_validation_and_determinism():
         nb.clone_probs_from_gibbs(t1["pi_trace"], 2, burn_in=5)
     with pytest.raises(ValueError, match="burn_in"):
         nb.rho_probs_from_gibbs(t1["rho_trace"], burn_in=9)
+
+
+def test_prepare_negbin_data_sparse_matches_dense():
+    """scipy CSR counts flow through prepare_negbin_data without a dense
+    host copy and produce the identical device pytree (and fit)."""
+    import scipy.sparse as sp
+
+    sim = simulate_model3(N=80, G=50, C=3, seed=13)
+    dense = nb.prepare_negbin_data(sim.Y, sim.L, dtype=jnp.float64)
+    sparse = nb.prepare_negbin_data(
+        sp.csr_matrix(sim.Y), sim.L, dtype=jnp.float64, chunk=17
+    )
+    for f in dense._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(dense, f)), np.asarray(getattr(sparse, f)), f
+        )
+    r_d = nb.run_negbin_em(dense, max_iter=6)
+    r_s = nb.run_negbin_em(sparse, max_iter=6)
+    assert float(r_d.final_elbo) == float(r_s.final_elbo)
+
+    # zero-count cells are rejected on the sparse path too
+    Yz = sim.Y.copy()
+    Yz[0] = 0
+    with pytest.raises(ValueError, match="nonzero"):
+        nb.prepare_negbin_data(sp.csr_matrix(Yz), sim.L)
