@@ -85,12 +85,19 @@ def _load_cnv(path: str):
 
 
 def _load_fit(path: str):
-    """A saved fit: .npz (this package) or .rds (R's saveRDS, either the
+    """A saved fit: .npz (this package — v2 or the legacy v1 family,
+    dispatched on the npz's ``model`` tag) or .rds (R's saveRDS, either the
     original package's output or :meth:`ClonealignFit.save_rds`)."""
     from .fit import ClonealignFit
 
     if path.endswith(".rds"):
         return ClonealignFit.load_rds(path)
+    with np.load(path, allow_pickle=True) as z:
+        is_v1 = "model" in z.files and str(z["model"]) == "negbin_v1"
+    if is_v1:
+        from .models.negbin import ClonealignV1Fit
+
+        return ClonealignV1Fit.load(path)
     return ClonealignFit.load(path)
 
 
@@ -118,10 +125,36 @@ def cmd_fit(args) -> int:
         Y = pp.gene_expression_data
         cnv_input = dict(zip(pp.clone_names, pp.copy_number_data.T))
 
+    if args.model == "negbin-v1":
+        import collections
+
+        from .models.negbin import inference_em
+
+        if args.out.endswith(".rds"):
+            print("error: v1 fits save as .npz (no R-side v1 layout to "
+                  "target — the reference deleted the v1 code)", file=sys.stderr)
+            return 2
+        L_arr = (np.column_stack([cnv_input[k] for k in cnv_input])
+                 if isinstance(cnv_input, dict) else np.asarray(cnv_input))
+        names = list(cnv_input) if isinstance(cnv_input, dict) else None
+        fit = inference_em(
+            Y, L_arr, max_iter=args.max_iter, rel_tol=args.rel_tol,
+            learning_rate=(0.05 if args.learning_rate is None
+                           else args.learning_rate),
+            clone_call_probability=args.clone_call_probability,
+            clone_names=names, verbose=not args.quiet,
+        )
+        fit.save(args.out)
+        if not args.quiet:
+            print(fit)
+            print("clone counts:", dict(collections.Counter(fit.clone)))
+            print(f"saved -> {args.out}")
+        return 0
+
     common = dict(
         max_iter=args.max_iter,
         rel_tol=args.rel_tol,
-        learning_rate=args.learning_rate,
+        learning_rate=0.1 if args.learning_rate is None else args.learning_rate,
         clone_call_probability=args.clone_call_probability,
         seed=args.seed,
         verbose=not args.quiet,
@@ -151,15 +184,22 @@ def cmd_assign(args) -> int:
     """Serve: assign new cells against a saved fit (no refit)."""
     import collections
 
-    from .serve import assign_cells
-
     fit = _load_fit(args.fit)
     Y, _genes, cell_names = _load_counts(args.counts, args.transpose)
     L, _names = _load_cnv(args.cnv)
-    clones, probs = assign_cells(
-        fit, Y, L, clone_call_probability=args.clone_call_probability,
-        latent=args.latent,
-    )
+    from .models.negbin import ClonealignV1Fit, classify_cells
+
+    if isinstance(fit, ClonealignV1Fit):
+        clones, probs = classify_cells(
+            fit, Y, L, clone_call_probability=args.clone_call_probability,
+        )
+    else:
+        from .serve import assign_cells
+
+        clones, probs = assign_cells(
+            fit, Y, L, clone_call_probability=args.clone_call_probability,
+            latent=args.latent,
+        )
     np.savez_compressed(
         args.out,
         clone=np.asarray(clones, dtype=str),
@@ -177,15 +217,27 @@ def cmd_show(args) -> int:
     fit = _load_fit(args.fit)
     import collections
 
+    from .models.negbin import ClonealignV1Fit
+
     print(fit)
-    info = {
-        "clone_counts": dict(collections.Counter(fit.clone)),
-        "final_elbo": fit.convergence_info.final_elbo,
-        "sd_final_elbo": fit.convergence_info.sd_final_elbo,
-        "n_iters": fit.convergence_info.n_iters,
-        "n_retained_genes": len(fit.retained_genes),
-        "median_correlation": float(np.nanmedian(fit.correlations)),
-    }
+    if isinstance(fit, ClonealignV1Fit):
+        info = {
+            "model": "negbin_v1",
+            "clone_counts": dict(collections.Counter(fit.clone)),
+            "final_elbo": fit.final_elbo,
+            "n_iters": fit.n_iter,
+            "n_genes": len(fit.mu),
+            "dosage_genes": int((fit.rho_probs > 0.5).sum()),
+        }
+    else:
+        info = {
+            "clone_counts": dict(collections.Counter(fit.clone)),
+            "final_elbo": fit.convergence_info.final_elbo,
+            "sd_final_elbo": fit.convergence_info.sd_final_elbo,
+            "n_iters": fit.convergence_info.n_iters,
+            "n_retained_genes": len(fit.retained_genes),
+            "median_correlation": float(np.nanmedian(fit.correlations)),
+        }
     print(json.dumps(info, indent=2, default=str))
     return 0
 
@@ -216,10 +268,17 @@ def main(argv=None) -> int:
     p_fit.add_argument("--out", required=True, help="output fit (.npz, or .rds for R's readRDS)")
     p_fit.add_argument("--transpose", action="store_true", help="counts file is genes x cells (e.g. raw .mtx from CellRanger)")
     p_fit.add_argument("--preprocess", action="store_true", help="run preprocess_for_clonealign first")
+    p_fit.add_argument(
+        "--model", default="multinomial", choices=["multinomial", "negbin-v1"],
+        help="model family: the v2 multinomial (default, the published "
+        "model) or the legacy v1 negative-binomial dosage mixture "
+        "(docs/legacy_v1.md)",
+    )
     p_fit.add_argument("--restarts", type=int, default=1)
     p_fit.add_argument("--max-iter", type=int, default=200)
     p_fit.add_argument("--rel-tol", type=float, default=1e-6)
-    p_fit.add_argument("--learning-rate", type=float, default=0.1)
+    p_fit.add_argument("--learning-rate", type=float, default=None,
+                   help="Adam step size (default: 0.1 for the v2 model, 0.05 for negbin-v1)")
     p_fit.add_argument("--clone-call-probability", type=float, default=0.95)
     p_fit.add_argument("--seed", type=int, default=0)
     p_fit.add_argument(

@@ -557,6 +557,11 @@ class ClonealignV1Fit:
     n_iter: int
     final_elbo: float
     clone_names: list = field(default_factory=list)
+    # mean total counts of the TRAINING cells. The NB likelihood is scale-
+    # sensitive in s (unlike the multinomial, which conditions on totals),
+    # so serving must put new cells' size factors on the fit's scale:
+    # s_new = totals_new / s_mean. NaN on fits saved before this field.
+    s_mean: float = float("nan")
 
     def __repr__(self):
         N, C = self.clone_probs.shape
@@ -566,6 +571,41 @@ class ClonealignV1Fit:
             f"   converged in {self.n_iter} iterations, "
             f"final ELBO {self.final_elbo:.4f}"
         )
+
+    def save(self, path) -> None:
+        """Persist to .npz (the v1 analog of ClonealignFit.save; the
+        ``model`` tag lets loaders and the CLI dispatch on family)."""
+        np.savez_compressed(
+            path,
+            model="negbin_v1",
+            clone=np.asarray(self.clone, dtype=object),
+            clone_probs=self.clone_probs,
+            rho_probs=self.rho_probs,
+            mu=self.mu, beta=self.beta, phi=self.phi, alpha=self.alpha,
+            elbo_trace=self.elbo_trace,
+            n_iter=self.n_iter, final_elbo=self.final_elbo,
+            clone_names=np.asarray(self.clone_names, dtype=object),
+            s_mean=self.s_mean,
+        )
+
+    @classmethod
+    def load(cls, path) -> "ClonealignV1Fit":
+        with np.load(path, allow_pickle=True) as z:
+            if str(z["model"]) != "negbin_v1":
+                raise ValueError(
+                    f"not a clonealign v1 fit: model tag {z['model']!r}"
+                )
+            return cls(
+                clone=[str(c) for c in z["clone"]],
+                clone_probs=z["clone_probs"],
+                rho_probs=z["rho_probs"],
+                mu=z["mu"], beta=z["beta"], phi=z["phi"], alpha=z["alpha"],
+                elbo_trace=z["elbo_trace"],
+                n_iter=int(z["n_iter"]),
+                final_elbo=float(z["final_elbo"]),
+                clone_names=[str(c) for c in z["clone_names"]],
+                s_mean=float(z["s_mean"]) if "s_mean" in z else float("nan"),
+            )
 
 
 def inference_em(
@@ -631,4 +671,68 @@ def inference_em(
         n_iter=n_iter,
         final_elbo=float(result.final_elbo),
         clone_names=[str(c) for c in clone_names],
+        s_mean=float(np.asarray(jnp.sum(data.Y, axis=1)).mean()),
     )
+
+
+def classify_cells(
+    fit: ClonealignV1Fit,
+    Y_new,
+    L,
+    s=None,
+    clone_call_probability: float = 0.95,
+    dtype=jnp.float32,
+):
+    """Assign NEW cells under a fitted v1 model — no refit (the v1 analog
+    of :func:`clonealign_tpu.serve.assign_cells`).
+
+    The clone posterior for an unseen cell is the CAVI gamma update under
+    the fitted rates with the fitted dosage marginals q(rho) as gene
+    weights:  log q(pi=c) = log alpha_c + sum_g r_g D_c[n, g] + const —
+    one clone scan over (N_new, G), closed form, no optimization.
+
+    Size factors: the NB mean is s_n * rate, so s carries real scale
+    (the multinomial conditions totals away; the v1 family does not).
+    New cells default to s = totals / fit.s_mean — the TRAINING cells'
+    mean total — so a deeper-sequenced serving batch is not mistaken for
+    higher expression. Pass ``s`` explicitly to override. Fits saved
+    before ``s_mean`` existed fall back to the serving batch's own mean
+    (exact when sequencing depth matches the training run).
+
+    Returns ``(clones, clone_probs)`` like the v2 serving path.
+    """
+    from ..utils.sparsity import is_scipy_sparse
+
+    if s is None:
+        if is_scipy_sparse(Y_new):
+            totals = np.asarray(Y_new.sum(axis=1), np.float64).ravel()
+        else:
+            totals = np.asarray(Y_new, np.float64).sum(axis=1)
+        denom = fit.s_mean if np.isfinite(fit.s_mean) else totals.mean()
+        s = totals / denom
+    data = prepare_negbin_data(Y_new, L, s=s, dtype=dtype)
+    if len(fit.mu) != data.Lp.shape[0]:
+        raise ValueError(
+            f"fit has {len(fit.mu)} genes but Y_new/L have "
+            f"{data.Lp.shape[0]}; serve over the fit's genes, same order"
+        )
+    params = NegbinParams(
+        log_mu=jnp.log(jnp.asarray(fit.mu, dtype)),
+        log_beta=jnp.log(jnp.asarray(fit.beta, dtype)),
+        log_phi=jnp.log(jnp.asarray(fit.phi, dtype)),
+        alpha_logits=jnp.log(jnp.asarray(fit.alpha, dtype)),
+    )
+    r = jnp.asarray(fit.rho_probs, dtype)
+    N, C = data.Y.shape[0], data.Lp.shape[1]
+    A, _ = jax.jit(_accumulate)(params, data, r, jnp.zeros((N, C), dtype))
+    gamma = np.asarray(
+        jax.nn.softmax(jnp.log(jnp.asarray(fit.alpha, dtype))[None, :] + A, axis=1),
+        np.float64,
+    )
+    from .. import assign as _assign
+
+    names = fit.clone_names or [
+        f"clone_{i}" for i in range(C)
+    ]
+    clones = _assign.clone_assignment(gamma, names, clone_call_probability)
+    return clones, gamma

@@ -57,6 +57,7 @@ SECTIONS = [
         "clonealign_tpu.models.negbin.gibbs_pi_rho",
         "clonealign_tpu.models.negbin.clone_probs_from_gibbs",
         "clonealign_tpu.models.negbin.rho_probs_from_gibbs",
+        "clonealign_tpu.models.negbin.classify_cells",
         "clonealign_tpu.models.negbin.ClonealignV1Fit",
     ]),
     ("Inference engine", [

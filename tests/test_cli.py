@@ -111,3 +111,48 @@ def test_cli_missing_file(cli_files):
             "fit", "--counts", "/nonexistent.mtx", "--cnv", str(d / "cnv.csv"),
             "--out", str(d / "x.npz"), "--quiet",
         ])
+
+
+def test_cli_v1_fit_show_assign(cli_files, capsys):
+    """The legacy v1 family end-to-end through the CLI: fit --model
+    negbin-v1 -> show (v1 summary) -> assign (classify_cells dispatch)."""
+    d, sim = cli_files
+    rc = main([
+        "fit", "--counts", str(d / "counts.mtx.gz"), "--cnv", str(d / "cnv.csv"),
+        "--out", str(d / "fit_v1.npz"), "--transpose", "--max-iter", "60",
+        "--model", "negbin-v1", "--quiet",
+    ])
+    assert rc == 0
+
+    from clonealign_tpu.models.negbin import ClonealignV1Fit
+
+    fit = ClonealignV1Fit.load(str(d / "fit_v1.npz"))
+    assert fit.clone_names == ["A", "B", "C"]
+    acc = assignment_accuracy(fit.clone, fit.clone_names, sim.clone_idx)
+    assert acc > 0.9
+
+    rc = main(["show", str(d / "fit_v1.npz")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "negbin_v1" in out and "dosage_genes" in out
+
+    rc = main([
+        "assign", "--fit", str(d / "fit_v1.npz"),
+        "--counts", str(d / "counts.mtx.gz"), "--cnv", str(d / "cnv.csv"),
+        "--out", str(d / "assign_v1.npz"), "--transpose", "--quiet",
+    ])
+    assert rc == 0
+    z = np.load(d / "assign_v1.npz")
+    acc = assignment_accuracy(
+        [str(c) for c in z["clone"]], [str(c) for c in z["clone_names"]],
+        sim.clone_idx,
+    )
+    assert acc > 0.9
+
+    # v1 fits have no R-side layout to target
+    rc = main([
+        "fit", "--counts", str(d / "counts.mtx.gz"), "--cnv", str(d / "cnv.csv"),
+        "--out", str(d / "fit_v1.rds"), "--transpose", "--model", "negbin-v1",
+        "--quiet",
+    ])
+    assert rc == 2

@@ -223,3 +223,62 @@ def test_prepare_negbin_data_sparse_matches_dense():
     Yz[0] = 0
     with pytest.raises(ValueError, match="nonzero"):
         nb.prepare_negbin_data(sp.csr_matrix(Yz), sim.L)
+
+
+def test_v1_fit_save_load_roundtrip(tmp_path):
+    sim = simulate_model3(N=100, G=60, C=3, seed=17)
+    fit = nb.inference_em(sim.Y, sim.L, max_iter=20, verbose=False)
+    path = tmp_path / "v1.npz"
+    fit.save(path)
+    back = nb.ClonealignV1Fit.load(path)
+    assert back.clone == fit.clone
+    assert back.clone_names == fit.clone_names
+    np.testing.assert_array_equal(back.clone_probs, fit.clone_probs)
+    np.testing.assert_array_equal(back.rho_probs, fit.rho_probs)
+    np.testing.assert_array_equal(back.mu, fit.mu)
+    assert back.final_elbo == fit.final_elbo
+    assert back.s_mean == fit.s_mean and np.isfinite(back.s_mean)
+    # the v2 loader must refuse it, and vice versa
+    from clonealign_tpu.fit import ClonealignFit
+
+    with pytest.raises(Exception):
+        ClonealignFit.load(path)
+
+
+def test_v1_classify_cells_held_out():
+    """Serving: cells the fit never saw are assigned correctly, and serving
+    the TRAINING cells reproduces the fit's own posterior (the classify
+    E-step under the converged parameters is the fit's last E-step)."""
+    sim = simulate_model3(N=600, G=150, C=3, seed=23)
+    n_train = 400
+    fit = nb.inference_em(
+        sim.Y[:n_train], sim.L, max_iter=120, verbose=False
+    )
+    clones, gamma = nb.classify_cells(fit, sim.Y[n_train:], sim.L)
+    idx = np.array([fit.clone_names.index(c) if c in fit.clone_names else -1
+                    for c in clones])
+    acc = float((idx == sim.clone_idx[n_train:]).mean())
+    assert acc > 0.95
+
+    # self-consistency on the training cells
+    clones_tr, gamma_tr = nb.classify_cells(fit, sim.Y[:n_train], sim.L)
+    agree = float((gamma_tr.argmax(1) == fit.clone_probs.argmax(1)).mean())
+    assert agree > 0.99
+
+
+def test_v1_classify_cells_depth_invariance():
+    """The NB mean is s * rate, so a deeper-sequenced serving batch must be
+    put on the fit's size-factor scale (fit.s_mean), not its own mean.
+    Serving the SAME cells with 4x depth should keep assignments stable."""
+    rng = np.random.default_rng(3)
+    sim = simulate_model3(N=400, G=150, C=3, seed=29)
+    fit = nb.inference_em(sim.Y, sim.L, max_iter=120, verbose=False)
+    # simulate 4x sequencing depth: binomial-thin the complement (approx:
+    # resample each count at 4x mean via Poisson around 4*y)
+    Y_deep = rng.poisson(4.0 * sim.Y).astype(float)
+    Y_deep[Y_deep.sum(1) == 0, 0] = 1
+    clones, gamma = nb.classify_cells(fit, Y_deep, sim.L)
+    idx = np.array([fit.clone_names.index(c) if c in fit.clone_names else -1
+                    for c in clones])
+    acc = float((idx == sim.clone_idx).mean())
+    assert acc > 0.95
