@@ -68,6 +68,11 @@ def main():
     ap.add_argument("--genes", type=int, default=2_000)
     ap.add_argument("--clones", type=int, default=4)
     ap.add_argument("--max-iter", type=int, default=100)
+    ap.add_argument("--chunk-iters", type=int, default=None,
+                    help="run the fit as resume_from-chained chunks of this "
+                    "many iterations: through the axon tunnel a single XLA "
+                    "execution over ~40-70 s dies with UNAVAILABLE, so long "
+                    "fits must stay under that per-call budget")
     ap.add_argument("--record", action="store_true",
                     help="append the JSON line to results_tpu_r3.jsonl")
     args = ap.parse_args()
@@ -80,7 +85,28 @@ def main():
 
     N, G, C = args.cells, args.genes, args.clones
     dtype = jnp.float32
-    kw = dict(max_iter=args.max_iter, rel_tol=1e-6)
+
+    def fit(data):
+        """One fit, optionally as resume-chained chunks; returns
+        (result, total_iters_run)."""
+        if args.chunk_iters is None:
+            res = nb.run_negbin_em(data, max_iter=args.max_iter,
+                                   rel_tol=1e-6)
+            jax.block_until_ready(res.final_elbo)
+            return res, int(res.n_iter)
+        res, total = None, 0
+        while total < args.max_iter:
+            step = min(args.chunk_iters, args.max_iter - total)
+            res = nb.run_negbin_em(data, max_iter=step, rel_tol=1e-6,
+                                   resume_from=res)
+            jax.block_until_ready(res.final_elbo)
+            n = int(res.n_iter)
+            total += n
+            print(f"  chunk: {n} iters, elbo "
+                  f"{float(res.final_elbo):.6g}", file=sys.stderr)
+            if n < step:   # the window criterion fired inside the chunk
+                break
+        return res, total
 
     t0 = time.perf_counter()
     Y, L, rho, pi = gen_model3_on_device(11, N, G, C, dtype)
@@ -89,8 +115,7 @@ def main():
     data = nb.prepare_negbin_data(Y, L, dtype=dtype)
 
     t0 = time.perf_counter()
-    res = nb.run_negbin_em(data, **kw)
-    jax.block_until_ready(res.final_elbo)
+    res, _ = fit(data)
     t_first = time.perf_counter() - t0
     print(f"compile+fit {t_first:.2f}s iters={int(res.n_iter)}",
           file=sys.stderr)
@@ -101,12 +126,12 @@ def main():
     del Y, Y2
 
     t0 = time.perf_counter()
-    res2 = nb.run_negbin_em(data2, **kw)
+    res2, n_iter_total = fit(data2)
     elbo = float(np.asarray(res2.final_elbo))   # fetch = real completion
     t_warm = time.perf_counter() - t0
 
     gamma = np.asarray(res2.post.gamma)
-    n_iter = int(res2.n_iter)
+    n_iter = n_iter_total
     line = {
         "metric": f"v1 negbin VEM scale test {N}x{G}x{C}, single chip",
         "elapsed_s": round(t_warm, 3),

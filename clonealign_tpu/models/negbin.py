@@ -174,6 +174,30 @@ def _llk0_sum(params: NegbinParams, data: NegbinData, consts: _NBConsts):
     )
 
 
+def _llk0_netted_sum(params: NegbinParams, data: NegbinData):
+    """sum_ng log NB(y | s_n mu_g, phi_g) with every term netted INSIDE one
+    fused elementwise expression before the single reduction. ~2 gammaln
+    per element more expensive than _llk0_sum, but its f32 value noise is
+    at small-element scale — _llk0_sum assembles the total from separately
+    reduced ~1e9-magnitude pieces (sum gammaln(Yp), N*sum gammaln(phi), ...)
+    whose f32 ulps (~hundreds) put a noise floor near rel_tol * |ELBO| at
+    100k x 2k scale, so the convergence monitor never fires. Use THIS form
+    for the monitored ELBO (once per iteration); the Adam loss keeps the
+    cheap form — it only consumes gradients, whose dominant cotangents net
+    per element either way (measured equal, tests/gradnoise probe r3)."""
+    phi = jnp.exp(params.log_phi)[None, :]
+    m0 = data.s[:, None] * jnp.exp(params.log_mu)[None, :]
+    log_m0 = jnp.log(data.s)[:, None] + params.log_mu[None, :]
+    Yp = data.Y + phi
+    core = (
+        gammaln(Yp) - gammaln(phi) - gammaln(data.Y + 1.0)
+        + phi * params.log_phi[None, :]
+        - Yp * jnp.log(phi + m0)
+        + data.Y * log_m0
+    )
+    return jnp.sum(core)
+
+
 def _expected_llk(params: NegbinParams, data: NegbinData,
                   post: NegbinPosterior, consts: Optional[_NBConsts] = None):
     """E_q[log p(Y | pi, rho, params)] — the M-step objective's data term.
@@ -318,6 +342,10 @@ class NegbinResult(NamedTuple):
     elbo_trace: jax.Array
     n_iter: jax.Array
     final_elbo: jax.Array
+    # Adam moments at exit — lets `resume_from` continue the exact
+    # trajectory (needed e.g. where single XLA executions have a wall
+    # budget; each chunk stays under it). None on pre-resume results.
+    opt_state: Optional[tuple] = None
 
 
 @functools.partial(
@@ -336,6 +364,7 @@ def run_negbin_em(
     learning_rate: float = 0.05,
     m_steps: int = 5,
     window_size: int = 10,
+    resume_from: Optional[NegbinResult] = None,
 ) -> NegbinResult:
     """The full variational-EM fit as one jitted program.
 
@@ -345,18 +374,34 @@ def run_negbin_em(
     over ``window_size`` iterations drops below ``rel_tol`` (the v2 loop's
     criterion, reference R/inference-tflow.R:404-416, reused for the v1
     family whose own stopping rule is unrecorded).
+
+    ``resume_from``: a previous :class:`NegbinResult` — continues its
+    trajectory exactly (params, posterior, and Adam moments are all
+    carried; only the convergence window restarts). Chains of
+    ``max_iter``-sized chunks reproduce one long run step for step.
     """
     import optax
 
-    params = init_negbin_params(data, data.Y.dtype)
-    G, C = data.Lp.shape
-    r0 = (jnp.full((G,), 0.5, data.Y.dtype) if rho_init is None
-          else jnp.asarray(rho_init, data.Y.dtype))
-    gamma0 = jnp.full((data.Y.shape[0], C), 1.0 / C, data.Y.dtype)
-    post = NegbinPosterior(gamma=gamma0, r=r0)
-
     opt = optax.adam(learning_rate)
-    opt_state = opt.init((params.log_mu, params.log_beta, params.log_phi))
+    G, C = data.Lp.shape
+    if resume_from is None:
+        params = init_negbin_params(data, data.Y.dtype)
+        r0 = (jnp.full((G,), 0.5, data.Y.dtype) if rho_init is None
+              else jnp.asarray(rho_init, data.Y.dtype))
+        gamma0 = jnp.full((data.Y.shape[0], C), 1.0 / C, data.Y.dtype)
+        post = NegbinPosterior(gamma=gamma0, r=r0)
+        opt_state = opt.init(
+            (params.log_mu, params.log_beta, params.log_phi)
+        )
+    else:
+        if resume_from.opt_state is None:
+            raise ValueError(
+                "resume_from has no optimizer state (result predates "
+                "resume support?)"
+            )
+        params = resume_from.params
+        post = resume_from.post
+        opt_state = resume_from.opt_state
 
     logit_prior = jnp.log(rho_prior) - jnp.log1p(-rho_prior)
     consts = _nb_constants(data)
@@ -379,8 +424,9 @@ def run_negbin_em(
             (jnp.exp(params.log_mu)
              - jnp.exp(params.log_beta) * data.l_hat) ** 2
         )
+        # netted sum: the monitor must resolve rel_tol-sized changes in f32
         return (
-            _llk0_sum(params, data, consts) + jnp.dot(post.r, B) - penalty
+            _llk0_netted_sum(params, data) + jnp.dot(post.r, B) - penalty
             + _elbo_extras(params, data, post, rho_prior)
         )
 
@@ -408,7 +454,13 @@ def run_negbin_em(
         return params._replace(log_mu=rates[0], log_beta=rates[1],
                                log_phi=rates[2]), opt_state
 
-    post, B0 = estep(params, post)
+    if resume_from is None:
+        post, B0 = estep(params, post)
+    else:
+        # the previous chunk's last body iteration already ran its E-step;
+        # re-running it here would move the posterior off that trajectory.
+        # One B pass just re-evaluates the ELBO at the carried state.
+        _, B0 = _accumulate(params, data, post.r, post.gamma)
     elbo0 = elbo_from_B(params, post, B0)
     trace = jnp.full((max_iter + 1,), jnp.nan, data.Y.dtype).at[0].set(elbo0)
     window = jnp.full((window_size,), 1e3, data.Y.dtype)
@@ -436,6 +488,7 @@ def run_negbin_em(
     return NegbinResult(
         params=st.params, post=st.post, elbo_trace=st.trace,
         n_iter=st.i, final_elbo=st.trace[st.i],
+        opt_state=st.opt_state,
     )
 
 

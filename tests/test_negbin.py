@@ -282,3 +282,41 @@ def test_v1_classify_cells_depth_invariance():
                     for c in clones])
     acc = float((idx == sim.clone_idx).mean())
     assert acc > 0.95
+
+
+def test_resume_reproduces_single_run():
+    """Two chained 30-iteration chunks continue the exact trajectory of one
+    60-iteration run (params, posterior, and Adam moments all carried)."""
+    sim = simulate_model3(N=120, G=60, C=3, seed=31)
+    data = nb.prepare_negbin_data(sim.Y, sim.L, dtype=jnp.float64)
+    kw = dict(rel_tol=0.0)  # disable early stop: compare fixed-length runs
+
+    full = nb.run_negbin_em(data, max_iter=60, **kw)
+    half = nb.run_negbin_em(data, max_iter=30, **kw)
+    cont = nb.run_negbin_em(data, max_iter=30, resume_from=half, **kw)
+
+    np.testing.assert_allclose(
+        np.asarray(cont.params.log_mu), np.asarray(full.params.log_mu),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cont.params.log_phi), np.asarray(full.params.log_phi),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cont.post.gamma), np.asarray(full.post.gamma),
+        rtol=1e-10, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        float(cont.final_elbo), float(full.final_elbo), rtol=1e-12
+    )
+    # the chunk's trace starts at the carried state's ELBO
+    np.testing.assert_allclose(
+        np.asarray(cont.elbo_trace)[0], float(half.final_elbo), rtol=1e-12
+    )
+    # pre-resume results refuse to resume
+    with pytest.raises(ValueError, match="optimizer state"):
+        nb.run_negbin_em(
+            data, max_iter=5,
+            resume_from=half._replace(opt_state=None), **kw,
+        )
