@@ -134,6 +134,20 @@ def cmd_fit(args) -> int:
             print("error: v1 fits save as .npz (no R-side v1 layout to "
                   "target — the reference deleted the v1 code)", file=sys.stderr)
             return 2
+        # the v1 fit is deterministic (no MC, moment init) and has no
+        # storage/likelihood-impl knobs; refusing beats silently ignoring
+        unsupported = [
+            ("--restarts", args.restarts != 1),
+            ("--seed", args.seed != 0),
+            ("--y-storage", args.y_storage != "auto"),
+            ("--likelihood-impl", args.likelihood_impl != "auto"),
+        ]
+        bad = [flag for flag, set_ in unsupported if set_]
+        if bad:
+            print(f"error: {', '.join(bad)} not supported with "
+                  "--model negbin-v1 (the v1 VEM is deterministic and has "
+                  "no v2 storage/backend knobs)", file=sys.stderr)
+            return 2
         L_arr = (np.column_stack([cnv_input[k] for k in cnv_input])
                  if isinstance(cnv_input, dict) else np.asarray(cnv_input))
         names = list(cnv_input) if isinstance(cnv_input, dict) else None
@@ -190,6 +204,10 @@ def cmd_assign(args) -> int:
     from .models.negbin import ClonealignV1Fit, classify_cells
 
     if isinstance(fit, ClonealignV1Fit):
+        if args.latent != "auto":
+            print(f"error: --latent {args.latent} applies to v2 fits only "
+                  "(the v1 family has no latent factor)", file=sys.stderr)
+            return 2
         clones, probs = classify_cells(
             fit, Y, L, clone_call_probability=args.clone_call_probability,
         )

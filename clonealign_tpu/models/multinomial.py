@@ -364,11 +364,9 @@ def prepare_data_sparse(
     if y_storage is not None:
         _check_integer_storage(data64, y_storage)
     np_store = np.dtype(store) if store != jnp.bfloat16 else jnp.bfloat16
-    parts = []
-    for i in range(0, N, chunk):
-        block = Y[i : i + chunk].toarray()
-        parts.append(jnp.asarray(block.astype(np_store)))
-    Yd = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    from ..utils.sparsity import device_dense_from_sparse_rows
+
+    Yd = device_dense_from_sparse_rows(Y, np_store, chunk)
 
     colsum = np.asarray(Y.sum(axis=0)).ravel()
     return ModelData(

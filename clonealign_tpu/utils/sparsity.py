@@ -11,3 +11,20 @@ def is_scipy_sparse(x) -> bool:
     except ImportError:  # pragma: no cover
         return False
     return sp.issparse(x)
+
+
+def device_dense_from_sparse_rows(Y, store_dtype, chunk: int = 32_768):
+    """Assemble the dense device copy of a scipy CSR/CSC count matrix from
+    row chunks at ``store_dtype``, so peak host memory is
+    O(nnz + chunk x G) — the count matrix never exists densely on the host.
+    Shared by the v2 (models/multinomial.prepare_data_sparse) and v1
+    (models/negbin.prepare_negbin_data) ingestion paths."""
+    import jax.numpy as jnp
+
+    Y = Y.tocsr()
+    N = Y.shape[0]
+    parts = [
+        jnp.asarray(Y[i: i + chunk].toarray().astype(store_dtype))
+        for i in range(0, N, chunk)
+    ]
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]

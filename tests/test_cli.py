@@ -156,3 +156,30 @@ def test_cli_v1_fit_show_assign(cli_files, capsys):
         "--quiet",
     ])
     assert rc == 2
+
+
+def test_cli_v1_rejects_v2_only_flags(cli_files, capsys):
+    d, _ = cli_files
+    rc = main([
+        "fit", "--counts", str(d / "counts.mtx.gz"), "--cnv", str(d / "cnv.csv"),
+        "--out", str(d / "x.npz"), "--transpose", "--model", "negbin-v1",
+        "--restarts", "5", "--quiet",
+    ])
+    assert rc == 2
+    assert "--restarts" in capsys.readouterr().err
+
+    # --latent is v2-only on assign
+    rc = main([
+        "fit", "--counts", str(d / "counts.mtx.gz"), "--cnv", str(d / "cnv.csv"),
+        "--out", str(d / "fit_v1b.npz"), "--transpose", "--model", "negbin-v1",
+        "--max-iter", "10", "--quiet",
+    ])
+    assert rc == 0
+    rc = main([
+        "assign", "--fit", str(d / "fit_v1b.npz"),
+        "--counts", str(d / "counts.mtx.gz"), "--cnv", str(d / "cnv.csv"),
+        "--out", str(d / "y.npz"), "--transpose", "--latent", "refine",
+        "--quiet",
+    ])
+    assert rc == 2
+    assert "--latent" in capsys.readouterr().err
