@@ -20,20 +20,24 @@ import numpy as np
 
 def plot_elbo(fit, ax=None):
     """ELBO-trace convergence plot (the reference vignette's
-    ``qplot(elbo)`` check, introduction_to_clonealign.Rmd:158-161)."""
+    ``qplot(elbo)`` check, introduction_to_clonealign.Rmd:158-161).
+    Accepts a v2 :class:`~clonealign_tpu.fit.ClonealignFit` or a legacy
+    :class:`~clonealign_tpu.models.negbin.ClonealignV1Fit`."""
     import matplotlib.pyplot as plt
 
     if ax is None:
         _, ax = plt.subplots(figsize=(6, 3))
-    trace = np.asarray(fit.convergence_info.elbo, np.float64)
+    if hasattr(fit, "convergence_info"):
+        trace = np.asarray(fit.convergence_info.elbo, np.float64)
+        title = (f"final: {fit.convergence_info.final_elbo:.1f} "
+                 f"± {fit.convergence_info.sd_final_elbo:.1f}")
+    else:  # v1 family: deterministic, no sd
+        trace = np.asarray(fit.elbo_trace, np.float64)
+        title = f"final: {fit.final_elbo:.1f}"
     ax.plot(np.arange(len(trace)), trace, lw=1.5)
     ax.set_xlabel("Iteration")
     ax.set_ylabel("ELBO")
-    ax.set_title(
-        f"final: {fit.convergence_info.final_elbo:.1f} "
-        f"± {fit.convergence_info.sd_final_elbo:.1f}",
-        fontsize=9,
-    )
+    ax.set_title(title, fontsize=9)
     return ax.figure
 
 

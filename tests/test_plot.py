@@ -111,3 +111,15 @@ def test_plot_default_clone_names_match_fit_api():
     assert any(len(c.get_offsets()) > 0 for c in ax_rna.collections), (
         "RNA track is empty — clone-name defaults diverged from the fit API"
     )
+
+
+def test_plot_elbo_accepts_v1_fit():
+    from clonealign_tpu.models.negbin import inference_em
+    from clonealign_tpu.plot import plot_elbo
+    from clonealign_tpu.synth import simulate_model3
+
+    sim = simulate_model3(N=80, G=40, C=3, seed=2)
+    fit = inference_em(sim.Y, sim.L, max_iter=8, verbose=False)
+    fig = plot_elbo(fit)
+    assert fig is not None
+    matplotlib.pyplot.close(fig)
