@@ -320,3 +320,23 @@ def test_resume_reproduces_single_run():
             data, max_iter=5,
             resume_from=half._replace(opt_state=None), **kw,
         )
+
+
+def test_golden_pinned_trajectory_f64():
+    """Regression pin on a fixed dataset (recorded 2026-08-18, lr-decay
+    era, netted monitor). The iteration-0 value — one E-step + ELBO under
+    moment init, no optimizer — is environment-stable and pinned tight:
+    it locks the warm-start CAVI updates and the ELBO assembly. The
+    30-iteration value is only pinned loosely: Adam's sqrt(v)-normalizer
+    amplifies reduction-order differences (e.g. XLA's virtual-device
+    tiling) to ~1e-5 relative, so a tight pin there flakes across
+    environments rather than catching bugs."""
+    sim = simulate_model3(N=100, G=60, C=3, seed=99)
+    data = nb.prepare_negbin_data(sim.Y, sim.L, dtype=jnp.float64)
+    r = nb.run_negbin_em(data, max_iter=30, rel_tol=0.0)
+    np.testing.assert_allclose(
+        float(np.asarray(r.elbo_trace)[0]), -56595.67761509307, rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        float(r.final_elbo), -56266.79825854022, rtol=1e-3
+    )
