@@ -88,9 +88,19 @@ def build_sweep(config, dtype, max_iter):
 
     @jax.jit
     def sweep(keys, data):
+        # deterministic init passes shared across lanes (restarts.py does
+        # the same): per-lane randomized PCA was 0.42 s of the 1.0 s sweep
+        shared_pca = mm.pca_init_scores(
+            data.Y, 1, mm.lane0_pca_key(keys[0]), dtype
+        )
+        shared_mu = mm.data_mu_guess(data.Y, dtype)
+
         def one_fit(k):
             k_init, k_run = jax.random.split(k)
-            params0 = mm.init_params(data.Y, data.L, k_init, K=1, dtype=dtype)
+            params0 = mm.init_params(
+                data.Y, data.L, k_init, K=1, dtype=dtype,
+                pca_scores=shared_pca, mu_guess=shared_mu,
+            )
             res = run_inference(
                 params0, data, k_run, config,
                 max_iter=max_iter, rel_tol=1e-6, learning_rate=0.1,

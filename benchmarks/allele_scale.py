@@ -60,9 +60,17 @@ def main():
 
     @jax.jit
     def sweep(keys, data, extra):
+        shared_pca = mm.pca_init_scores(
+            data.Y, 1, mm.lane0_pca_key(keys[0]), jnp.float32
+        )
+        shared_mu = mm.data_mu_guess(data.Y, jnp.float32)
+
         def one_fit(k):
             k_init, k_run = jax.random.split(k)
-            p0 = mm.init_params(data.Y, data.L, k_init, K=1, dtype=jnp.float32)
+            p0 = mm.init_params(
+                data.Y, data.L, k_init, K=1, dtype=jnp.float32,
+                pca_scores=shared_pca, mu_guess=shared_mu,
+            )
             res = run_inference(
                 p0, data, k_run, config, max_iter=args.max_iter, rel_tol=1e-6,
                 learning_rate=0.1, extra_log_lik=extra,

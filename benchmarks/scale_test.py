@@ -75,9 +75,20 @@ def main():
 
     @jax.jit
     def sweep(keys, data):
+        # deterministic init passes shared across restarts (restarts.py
+        # does the same); under "map" batching each sequential lane would
+        # otherwise repay the full blocked-PCA cost
+        shared_pca = mm.pca_init_scores(
+            data.Y, 1, mm.lane0_pca_key(keys[0]), jnp.float32
+        )
+        shared_mu = mm.data_mu_guess(data.Y, jnp.float32)
+
         def one_fit(k):
             ki, kr = jax.random.split(k)
-            p0 = mm.init_params(data.Y, data.L, ki, K=1, dtype=jnp.float32)
+            p0 = mm.init_params(
+                data.Y, data.L, ki, K=1, dtype=jnp.float32,
+                pca_scores=shared_pca, mu_guess=shared_mu,
+            )
             r = run_inference(
                 p0, data, kr, config, max_iter=args.max_iter,
                 elbo_eval="reuse", loop_impl="scan", unroll=4,

@@ -42,7 +42,7 @@ from .preprocess import preprocess_for_clonealign
 from .restarts import run_clonealign
 from .serve import assign_cells
 
-__version__ = "0.3.0"
+__version__ = "0.3.1"
 
 __all__ = [
     "clonealign",

@@ -466,6 +466,54 @@ def _pca_scores_blocked(
     return xc_matmul(Vt[:k].T)  # (N, k)
 
 
+def pca_init_scores(Y, K: int, key, dtype=jnp.float32):
+    """Standardized top-K PCA scores of log2(Y+1)
+    (reference R/inference-tflow.R:204-207), pre-jitter.
+
+    ``prcomp`` is deterministic, so the reference's restarts all start from
+    the SAME scores and differ only through the N(0, 0.05) jitter
+    (reference R/inference-tflow.R:208). The restart sweep therefore computes
+    this once and shares it across lanes via ``init_params(pca_scores=...)``
+    — per-lane randomized PCA was 0.42 s of the 1.0 s headline sweep (the
+    tall-skinny QR factorizations serialize across vmap lanes on TPU;
+    benchmarks/results_tpu_r3.jsonl probe pca_overhead)."""
+    N, G = Y.shape
+    if K <= 0:
+        return jnp.zeros((N, 0), dtype)
+    if N * G > _CHUNK_ELEMENTS:
+        pcs = _pca_scores_blocked(Y, K, key, dtype)
+    else:
+        pcs = randomized_pca(jnp.log2(jnp.asarray(Y, dtype) + 1.0), K, key)
+    return _standardize(pcs, axis=0)
+
+
+def lane0_pca_key(lane_key):
+    """The PCA key :func:`init_params` would derive from this restart-lane
+    key (the sweep drivers split a lane key into (k_init, k_fit) and
+    init_params splits k_init into (k_pca, k_jitter)). Sharing lane 0's
+    scores through this key keeps a 1-restart sweep bit-identical to the
+    single-fit path (tests/test_entry_point_identity.py)."""
+    k_init, _ = jax.random.split(lane_key)
+    k_pca, _ = jax.random.split(k_init)
+    return k_pca
+
+
+def data_mu_guess(Y, dtype=jnp.float32):
+    """colMeans(Y / rowMeans(Y)) — the data-driven mu initialization
+    (reference R/inference-tflow.R:220-231), row-blocked above
+    ``_CHUNK_ELEMENTS``. Used as-is (NOT mean-normalized, matching the
+    reference's ``data_init_mu=TRUE`` branch)."""
+    N, G = Y.shape
+    if N * G > _CHUNK_ELEMENTS:
+        acc = jnp.zeros((G,), dtype)
+        for i, j in _row_blocks(N, G):
+            yb = Y[i:j].astype(dtype)
+            acc = acc + jnp.sum(yb / jnp.mean(yb, axis=1, keepdims=True), axis=0)
+        return acc / N
+    Y = jnp.asarray(Y, dtype)
+    return jnp.mean(Y / jnp.mean(Y, axis=1, keepdims=True), axis=0)
+
+
 def init_params(
     Y,
     L,
@@ -474,6 +522,8 @@ def init_params(
     P: int = 0,
     data_init_mu=True,
     dtype=jnp.float32,
+    pca_scores=None,
+    mu_guess=None,
 ) -> CloneAlignParams:
     """Initial parameter values (reference R/inference-tflow.R:204-273).
 
@@ -484,35 +534,31 @@ def init_params(
     Above ``_CHUNK_ELEMENTS`` the PCA and mu-guess passes run row-blocked
     (same algorithm, O(block x G) peak full-precision memory) so the init of
     a million-cell fit never materializes N x G in the compute dtype.
+
+    ``pca_scores`` / ``mu_guess`` accept the precomputed outputs of
+    :func:`pca_init_scores` / :func:`data_mu_guess` so a restart sweep can
+    share the deterministic init passes across lanes (only the psi jitter is
+    random per restart, as in the reference); the jitter key stream is
+    unchanged either way.
     """
     N, G = Y.shape
     C = L.shape[1]
-    big = N * G > _CHUNK_ELEMENTS
-    if not big:
-        Y = jnp.asarray(Y, dtype)
     k_pca, k_jitter = jax.random.split(key)
 
     if K > 0:
-        if big:
-            pcs = _pca_scores_blocked(Y, K, k_pca, dtype)
-        else:
-            pcs = randomized_pca(jnp.log2(Y + 1.0), K, k_pca)
-        pcs = _standardize(pcs, axis=0)
+        pcs = pca_scores if pca_scores is not None else pca_init_scores(Y, K, k_pca, dtype)
+        pcs = jnp.asarray(pcs, dtype)
         pcs = pcs + 0.05 * jax.random.normal(k_jitter, pcs.shape, dtype)
     else:
         pcs = jnp.zeros((N, 0), dtype)
 
-    if isinstance(data_init_mu, (bool, np.bool_)):
+    if mu_guess is not None:
+        mu_guess = jnp.asarray(mu_guess, dtype)
+    elif isinstance(data_init_mu, (bool, np.bool_)):
         if not data_init_mu:
             mu_guess = jnp.ones((G,), dtype)
-        elif big:
-            acc = jnp.zeros((G,), dtype)
-            for i, j in _row_blocks(N, G):
-                yb = Y[i:j].astype(dtype)
-                acc = acc + jnp.sum(yb / jnp.mean(yb, axis=1, keepdims=True), axis=0)
-            mu_guess = acc / N
         else:
-            mu_guess = jnp.mean(Y / jnp.mean(Y, axis=1, keepdims=True), axis=0)
+            mu_guess = data_mu_guess(Y, dtype)
     else:
         mu_guess = jnp.asarray(data_init_mu, dtype)
         mu_guess = mu_guess / jnp.mean(mu_guess)

@@ -65,11 +65,28 @@ def _sweep_program(
     jdtype = jnp.dtype(jdtype_name)
     init_mu = data_init_mu if isinstance(data_init_mu, bool) else mu_init
 
+    # Deterministic init passes hoisted out of the lanes and SHARED across
+    # restarts — exactly the reference's semantics (prcomp and the mu guess
+    # are deterministic per dataset; only the psi jitter and MC streams vary
+    # per restart, reference R/inference-tflow.R:204-235). Per-lane
+    # randomized PCA was 0.42 s of the 1.0 s headline sweep (vmapped
+    # tall-skinny QR serializes on TPU), and under "map" batching every
+    # sequential lane repaid the full init cost.
+    shared_pca = None
+    if config.K > 0:
+        shared_pca = mm.pca_init_scores(
+            data.Y, config.K, mm.lane0_pca_key(keys[0]), jdtype
+        )
+    shared_mu = None
+    if isinstance(init_mu, bool) and init_mu:
+        shared_mu = mm.data_mu_guess(data.Y, jdtype)
+
     def one_fit(k, shrink):
         k_init, k_fit = jax.random.split(k)
         params0 = mm.init_params(
             data.Y, data.L, k_init, K=config.K, P=config.P,
             data_init_mu=init_mu, dtype=jdtype,
+            pca_scores=shared_pca, mu_guess=shared_mu,
         )
         return run_inference(
             params0, data, k_fit, config,
