@@ -20,6 +20,11 @@ Plus the legacy v1 model family (negative-binomial dosage mixture, whose
 inference code the reference deleted in v2 — see ``models/negbin.py``):
 
 - :func:`inference_em` — variational-EM fit of the v1 model
+
+And the out-of-HBM scale path (no reference counterpart):
+
+- :func:`fit_streaming` — the same full-batch fit with Y streamed through
+  the device one cell chunk at a time (``stream.py``)
 """
 
 from .api import clonealign, saturate
@@ -41,12 +46,14 @@ from .models.negbin import (
 from .preprocess import preprocess_for_clonealign
 from .restarts import run_clonealign
 from .serve import assign_cells
+from .stream import fit_streaming
 
 __version__ = "0.3.1"
 
 __all__ = [
     "clonealign",
     "run_clonealign",
+    "fit_streaming",
     "assign_cells",
     "preprocess_for_clonealign",
     "recompute_clone_assignment",

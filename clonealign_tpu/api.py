@@ -259,25 +259,9 @@ def setup_fit(
         P = x.shape[1]
 
     # --- allele-specific setup (reference R/inference-tflow.R:166-187) ---
-    use_allele = clone_allele is not None and ref is not None and cov is not None
-    extra_log_lik = None
-    clone_probs_from_snv = None
-    if use_allele:
-        if verbose:
-            print("Using allelic imbalance info")  # R/inference-tflow.R:169-171
-        clone_allele = np.asarray(clone_allele, np.float64)
-        cov = np.asarray(cov, np.float64)
-        ref = np.asarray(ref, np.float64)
-        sanitize_allele_info(clone_allele, cov, ref, N, C)
-        cov_vn = cov.T
-        alt_vn = cov_vn - ref.T  # intended semantics; see module docstring
-        v_log_prob = construct_ai_likelihood(
-            jnp.asarray(clone_allele, jdtype),
-            jnp.asarray(alt_vn, jdtype),
-            jnp.asarray(cov_vn, jdtype),
-        )
-        extra_log_lik = v_log_prob
-        clone_probs_from_snv = np.asarray(snv_clone_probs(v_log_prob))
+    extra_log_lik, clone_probs_from_snv = _setup_allele(
+        clone_allele, cov, ref, N, C, jdtype, verbose
+    )
 
     if likelihood_impl not in ("auto", "xla", "fused", "z_cheb"):
         raise ValueError(
@@ -325,6 +309,29 @@ def setup_fit(
         clone_probs_from_snv=clone_probs_from_snv,
         verbose=verbose,
     )
+
+
+def _setup_allele(clone_allele, cov, ref, N, C, jdtype, verbose):
+    """Allele-specific likelihood setup (reference R/inference-tflow.R:166-187):
+    returns ``(extra_log_lik, clone_probs_from_snv)`` or ``(None, None)``
+    when any of the three inputs is missing. Shared by :func:`setup_fit` and
+    the streaming driver (stream.py)."""
+    if clone_allele is None or ref is None or cov is None:
+        return None, None
+    if verbose:
+        print("Using allelic imbalance info")  # R/inference-tflow.R:169-171
+    clone_allele = np.asarray(clone_allele, np.float64)
+    cov = np.asarray(cov, np.float64)
+    ref = np.asarray(ref, np.float64)
+    sanitize_allele_info(clone_allele, cov, ref, N, C)
+    cov_vn = cov.T
+    alt_vn = cov_vn - ref.T  # intended semantics; see module docstring
+    v_log_prob = construct_ai_likelihood(
+        jnp.asarray(clone_allele, jdtype),
+        jnp.asarray(alt_vn, jdtype),
+        jnp.asarray(cov_vn, jdtype),
+    )
+    return v_log_prob, np.asarray(snv_clone_probs(v_log_prob))
 
 
 def _mu_init_array(data_init_mu, jdtype):

@@ -994,3 +994,125 @@ def gamma_warm_start_logits(
     # moments finite.
     logits = jnp.where(impossible, -1e30, logits)
     return logits.T  # (N, C)
+
+
+# ---------------------------------------------------------------------------
+# Cell / global ELBO split (streaming fits)
+# ---------------------------------------------------------------------------
+#
+# elbo() is a sum of per-cell terms and global (cell-count-independent)
+# terms. The split below lets a driver evaluate the per-cell part one cell
+# chunk at a time — with the SAME (S, G) mu draw shared across chunks — and
+# add the global part once:
+#
+#   elbo(params, data, key, ...) ==
+#       sum_chunks elbo_cell_terms(params_chunk, data_chunk, mu_base, ...)
+#       + elbo_global_terms(params, mu_base, config, data.colsum_Y)
+#
+# exactly (up to floating-point reduction order across chunk boundaries;
+# asserted in tests/test_stream.py). This is the basis of the out-of-HBM
+# streaming fit (stream.py): only Y streams through the device, while the
+# per-cell variational state stays resident. elbo() itself is untouched.
+
+def elbo_cell_terms(
+    params: CloneAlignParams,
+    data: ModelData,
+    mu_base: jax.Array,
+    config: ModelConfig,
+    extra_log_lik: Optional[jax.Array] = None,
+):
+    """The per-cell part of :func:`elbo` for the cells in ``data``.
+
+    ``params.psi`` / ``params.gamma_logits`` carry only this chunk's rows;
+    the shared fields (W, chi, beta, alpha, qmu) are the full fit's.
+    ``mu_base`` is the (S, G) base-normal draw — pass the SAME draw to every
+    chunk of a step (and to :func:`elbo_global_terms`) so the chunk sum is
+    the full-batch value. Includes: log_binom + A1 constants, the
+    gamma-contracted clone log-likelihood, sum(log_alpha * gamma), the psi
+    prior, and (negated) the gamma entropy. Excludes everything in
+    :func:`elbo_global_terms`.
+    """
+    if _use_fused(config, data.Y.dtype):
+        raise ValueError(
+            "elbo_cell_terms does not support likelihood_impl='fused'; "
+            "use 'auto', 'xla', or 'z_cheb'"
+        )
+    mu_samples = softplus(mu_base)
+    dtype = params.qmu_loc.dtype
+
+    with _a_precision():
+        A1_sum = jnp.zeros((), dtype)
+        if config.K > 0:
+            A1_sum = jnp.sum(params.psi * (data.Y @ params.W))
+        if config.P > 0:
+            A1_sum = A1_sum + jnp.sum(data.X * (data.Y @ params.beta))
+    const_sum = jnp.sum(data.log_binom) + A1_sum
+    logZ = _compute_logZ(params, data, mu_samples, config)  # (S, C, N)
+
+    clone_ll = data.YlogL.T[None, :, :] - data.s[None, None, :] * logZ
+    if extra_log_lik is not None:
+        clone_ll = clone_ll + extra_log_lik.T[None, :, :]
+
+    gamma = jax.nn.softmax(params.gamma_logits, axis=1)  # (N, C)
+    log_gamma = jax.nn.log_softmax(params.gamma_logits, axis=1)
+
+    E_clone_ll = jnp.mean(clone_ll, axis=0)  # (C, N)
+    safe_ll = jnp.where(gamma == 0, 0.0, E_clone_ll.T)  # see elbo()
+    EE_p_y = jnp.sum(gamma * safe_ll) + const_sum
+
+    if config.fix_alpha:
+        log_alpha = jax.nn.log_softmax(jnp.zeros_like(params.alpha_unconstr))
+    else:
+        log_alpha = jax.nn.log_softmax(params.alpha_unconstr)
+    E_log_p_cells = jnp.sum(log_alpha[None, :] * gamma)
+    if config.K > 0:
+        E_log_p_cells = E_log_p_cells + jnp.sum(_normal_log_prob(params.psi))
+
+    gamma_entropy_term = jnp.sum(jnp.where(gamma == 0, 0.0, gamma * log_gamma))
+    return EE_p_y + E_log_p_cells - gamma_entropy_term
+
+
+def elbo_global_terms(
+    params: CloneAlignParams,
+    mu_base: jax.Array,
+    config: ModelConfig,
+    colsum_Y: jax.Array,
+):
+    """The cell-count-independent part of :func:`elbo`: the A2 = Y @ log mu
+    constant (via the precomputed per-gene totals), the mu / Dirichlet / W /
+    chi priors, and (negated) the qmu entropy. Added ONCE per evaluation,
+    regardless of how many chunks the cells were split into."""
+    S = config.mc_samples
+    mu_samples = softplus(mu_base)
+    log_mu = jnp.log(mu_samples)
+
+    with _a_precision():
+        A2_sum = (
+            jnp.vdot(jax.lax.stop_gradient(colsum_Y), jnp.sum(log_mu, axis=0)) / S
+        )
+
+    if config.fix_alpha:
+        log_alpha = jax.nn.log_softmax(jnp.zeros_like(params.alpha_unconstr))
+    else:
+        log_alpha = jax.nn.log_softmax(params.alpha_unconstr)
+    C = log_alpha.shape[0]
+    dir_conc = 1.0 / C
+    dir_x = jnp.exp(log_alpha) + 1e-3
+    dirichlet_lp = jnp.sum((dir_conc - 1.0) * jnp.log(dir_x)) - (
+        C * jax.lax.lgamma(jnp.asarray(dir_conc, dir_x.dtype))
+    )
+    E_log_p_glob = jnp.sum(_normal_log_prob(log_mu)) / S + dirichlet_lp
+    if config.K > 0:
+        chi = jnp.exp(params.chi_unconstr)
+        w_scale = jnp.sqrt(1.0 / chi)
+        E_log_p_glob = E_log_p_glob + jnp.sum(
+            _normal_log_prob(params.W, 0.0, w_scale[None, :])
+        )
+        E_log_p_glob = E_log_p_glob + jnp.sum(jnp.log(chi) - chi)
+
+    scale = jnp.exp(params.qmu_log_scale)
+    qmu_lp = _normal_log_prob(mu_base, params.qmu_loc[None, :], scale[None, :])
+    qmu_lp = qmu_lp - jax.nn.log_sigmoid(mu_base)
+    E_log_q_glob = jnp.sum(jnp.mean(qmu_lp, axis=0))
+
+    return A2_sum + E_log_p_glob - E_log_q_glob

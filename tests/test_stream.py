@@ -1,0 +1,262 @@
+"""Streaming (out-of-HBM) fit: stream.fit_streaming must be the SAME
+full-batch algorithm as the in-core clonealign(), not an approximation —
+chunked evaluation with a shared per-step MC draw plus chunk-local Adam is
+algebraically identical (stream.py module docstring). These tests pin that:
+float64 streaming fits replay in-core fits to reduction-order precision,
+chunking is invariant, and every input flavor (sparse, memmap, covariates,
+allele, K=0) round-trips."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clonealign_tpu import clonealign
+from clonealign_tpu.models import multinomial as mm
+from clonealign_tpu.stream import fit_streaming
+from clonealign_tpu.synth import simulate_multinomial
+
+
+def _sim(N=75, G=40, C=3, seed=5):
+    return simulate_multinomial(N=N, G=G, C=C, seed=seed, mean_total=400)
+
+
+KW64 = dict(max_iter=12, rel_tol=1e-8, dtype="float64", seed=11, verbose=False)
+
+
+@pytest.mark.slow
+def test_split_identity_elbo():
+    """elbo() == sum of chunked elbo_cell_terms + elbo_global_terms, for the
+    configurations the streaming driver supports."""
+    sim = _sim(N=50, G=30)
+    rng = np.random.RandomState(0)
+    for K, P, fix_alpha, impl in [
+        (1, 0, False, "auto"), (0, 0, False, "auto"),
+        (1, 2, True, "auto"), (1, 0, False, "z_cheb"),
+    ]:
+        x = rng.normal(size=(50, P)) if P else None
+        data = mm.prepare_data(sim.Y, sim.L, x=x, dtype=jnp.float64)
+        cfg = mm.ModelConfig(K=K, P=P, mc_samples=2, fix_alpha=fix_alpha,
+                             likelihood_impl=impl)
+        params = mm.init_params(
+            jnp.asarray(sim.Y, jnp.float64), data.L, jax.random.PRNGKey(1),
+            K=K, P=P, dtype=jnp.float64,
+        )
+        params = params._replace(
+            gamma_logits=jax.random.normal(
+                jax.random.PRNGKey(2), params.gamma_logits.shape, jnp.float64),
+            W=0.1 * jax.random.normal(
+                jax.random.PRNGKey(3), params.W.shape, jnp.float64),
+        )
+        key = jax.random.PRNGKey(7)
+        extra = 0.1 * jax.random.normal(jax.random.PRNGKey(4), (50, 3), jnp.float64)
+        full = float(mm.elbo(params, data, key, cfg, extra))
+        mu_base = mm.sample_mu_base(params, key, cfg.mc_samples)
+        tot = mm.elbo_global_terms(params, mu_base, cfg, data.colsum_Y)
+        for i, j in [(0, 20), (20, 50)]:
+            pc = params._replace(psi=params.psi[i:j],
+                                 gamma_logits=params.gamma_logits[i:j])
+            dc = mm.ModelData(
+                Y=data.Y[i:j], L=data.L,
+                X=None if x is None else data.X[i:j],
+                s=data.s[i:j], log_binom=data.log_binom[i:j],
+                YlogL=data.YlogL[i:j], colsum_Y=None,
+            )
+            tot = tot + mm.elbo_cell_terms(pc, dc, mu_base, cfg, extra[i:j])
+        assert abs(float(tot) - full) / abs(full) < 1e-12
+
+
+@pytest.mark.slow
+def test_streaming_replays_incore_f64():
+    """Same key => the streaming fit IS the in-core fit (trace, params,
+    assignments), up to cross-chunk reduction order."""
+    sim = _sim()
+    core = clonealign(sim.Y, sim.L, elbo_eval="fresh", **KW64)
+    strm = fit_streaming(sim.Y, sim.L, chunk_cells=30, elbo_eval="fresh",
+                         y_storage=None, **KW64)
+    t0 = np.asarray(core.convergence_info.elbo)
+    t1 = np.asarray(strm.convergence_info.elbo)
+    assert core.convergence_info.n_iters == strm.convergence_info.n_iters
+    np.testing.assert_allclose(t1, t0, rtol=1e-11)
+    np.testing.assert_allclose(
+        strm.convergence_info.final_elbo, core.convergence_info.final_elbo,
+        rtol=1e-11,
+    )
+    assert list(strm.clone) == list(core.clone)
+    for name in ("mu", "clone_probs", "s", "alpha", "psi", "W", "chi"):
+        np.testing.assert_allclose(
+            strm.ml_params[name], core.ml_params[name], rtol=1e-8, atol=1e-12,
+            err_msg=name,
+        )
+    np.testing.assert_allclose(strm.correlations, core.correlations, rtol=1e-8)
+
+
+@pytest.mark.slow
+def test_streaming_reuse_mode_matches_incore():
+    sim = _sim(seed=6)
+    core = clonealign(sim.Y, sim.L, elbo_eval="reuse", **KW64)
+    strm = fit_streaming(sim.Y, sim.L, chunk_cells=32, elbo_eval="reuse",
+                         y_storage=None, **KW64)
+    np.testing.assert_allclose(
+        np.asarray(strm.convergence_info.elbo),
+        np.asarray(core.convergence_info.elbo), rtol=1e-11,
+    )
+    assert list(strm.clone) == list(core.clone)
+
+
+@pytest.mark.slow
+def test_chunk_size_invariance():
+    """Any chunking (including one chunk) gives the same fit."""
+    sim = _sim(N=61, seed=7)  # 61 deliberately not divisible by the chunks
+    fits = [
+        fit_streaming(sim.Y, sim.L, chunk_cells=c, y_storage=None, **KW64)
+        for c in (61, 25, 7)
+    ]
+    for other in fits[1:]:
+        np.testing.assert_allclose(
+            np.asarray(other.convergence_info.elbo),
+            np.asarray(fits[0].convergence_info.elbo), rtol=1e-11,
+        )
+        assert list(other.clone) == list(fits[0].clone)
+        np.testing.assert_allclose(
+            other.ml_params["psi"], fits[0].ml_params["psi"], rtol=1e-8
+        )
+
+
+@pytest.mark.slow
+def test_sparse_input_and_gene_filter():
+    import scipy.sparse as sp
+
+    sim = _sim(seed=8)
+    Y = np.asarray(sim.Y).copy()
+    Y[:, 3] = 0  # filtered out by gene_filter_threshold=0
+    dense = fit_streaming(Y, sim.L, chunk_cells=20, y_storage=None, **KW64)
+    sparse = fit_streaming(sp.csr_matrix(Y), sim.L, chunk_cells=20,
+                           y_storage=None, **KW64)
+    assert len(dense.retained_genes) == Y.shape[1] - 1
+    assert list(sparse.clone) == list(dense.clone)
+    np.testing.assert_allclose(
+        np.asarray(sparse.convergence_info.elbo),
+        np.asarray(dense.convergence_info.elbo), rtol=1e-11,
+    )
+    # and both match the in-core fit on the same data
+    core = clonealign(Y, sim.L, **KW64)
+    assert list(dense.clone) == list(core.clone)
+    np.testing.assert_allclose(
+        dense.convergence_info.final_elbo, core.convergence_info.final_elbo,
+        rtol=1e-11,
+    )
+
+
+def test_memmap_input(tmp_path):
+    """A np.memmap streams without being loaded whole (out-of-core path)."""
+    sim = _sim(seed=9)
+    Y = np.asarray(sim.Y, np.int16)
+    path = tmp_path / "counts.dat"
+    m = np.memmap(path, dtype=np.int16, mode="w+", shape=Y.shape)
+    m[:] = Y
+    m.flush()
+    ro = np.memmap(path, dtype=np.int16, mode="r", shape=Y.shape)
+    strm = fit_streaming(ro, sim.L, chunk_cells=25, **KW64)
+    ref = fit_streaming(Y, sim.L, chunk_cells=25, **KW64)
+    assert list(strm.clone) == list(ref.clone)
+    np.testing.assert_allclose(
+        strm.convergence_info.final_elbo, ref.convergence_info.final_elbo,
+        rtol=1e-11,
+    )
+
+
+@pytest.mark.slow
+def test_covariates_and_allele_chunked():
+    sim = _sim(seed=10)
+    N, C = sim.Y.shape[0], sim.L.shape[1]
+    rng = np.random.RandomState(3)
+    x = rng.normal(size=(N, 2))
+    V = 12
+    clone_allele = rng.randint(1, 4, size=(V, C)).astype(float)
+    cov = rng.poisson(5.0, size=(N, V)).astype(float)
+    ref = np.minimum(rng.poisson(2.0, size=(N, V)).astype(float), cov)
+    kw = dict(x=x, clone_allele=clone_allele, cov=cov, ref=ref,
+              elbo_eval="fresh", **KW64)
+    core = clonealign(sim.Y, sim.L, **kw)
+    strm = fit_streaming(sim.Y, sim.L, chunk_cells=30, y_storage=None, **kw)
+    assert list(strm.clone) == list(core.clone)
+    np.testing.assert_allclose(
+        np.asarray(strm.convergence_info.elbo),
+        np.asarray(core.convergence_info.elbo), rtol=1e-11,
+    )
+    np.testing.assert_allclose(
+        strm.ml_params["beta"], core.ml_params["beta"], rtol=1e-8, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        strm.clone_probs_from_snv, core.clone_probs_from_snv, rtol=1e-10
+    )
+
+
+@pytest.mark.slow
+def test_k0_streaming():
+    sim = _sim(seed=12)
+    core = clonealign(sim.Y, sim.L, K=0, **KW64)
+    strm = fit_streaming(sim.Y, sim.L, K=0, chunk_cells=20, y_storage=None, **KW64)
+    assert list(strm.clone) == list(core.clone)
+    np.testing.assert_allclose(
+        strm.convergence_info.final_elbo, core.convergence_info.final_elbo,
+        rtol=1e-11,
+    )
+    assert "psi" not in strm.ml_params
+
+
+@pytest.mark.slow
+def test_f32_default_storage_matches_incore_assignments():
+    """The production configuration: float32 compute, auto (int) storage."""
+    sim = _sim(seed=13)
+    kw = dict(max_iter=15, rel_tol=1e-8, seed=4, verbose=False)
+    core = clonealign(sim.Y, sim.L, y_storage="auto", **kw)
+    strm = fit_streaming(sim.Y, sim.L, chunk_cells=30, **kw)
+    assert list(strm.clone) == list(core.clone)
+    np.testing.assert_allclose(
+        strm.convergence_info.final_elbo, core.convergence_info.final_elbo,
+        rtol=1e-4,
+    )
+
+
+@pytest.mark.slow
+def test_z_cheb_streaming_smoke():
+    """z_cheb fits its Chebyshev range per chunk; assignments must agree
+    with the exact backend."""
+    sim = _sim(seed=14)
+    kw = dict(max_iter=15, rel_tol=1e-8, seed=4, verbose=False)
+    exact = fit_streaming(sim.Y, sim.L, chunk_cells=30, **kw)
+    cheb = fit_streaming(sim.Y, sim.L, chunk_cells=30,
+                         likelihood_impl="z_cheb", **kw)
+    assert list(cheb.clone) == list(exact.clone)
+    np.testing.assert_allclose(
+        cheb.convergence_info.final_elbo, exact.convergence_info.final_elbo,
+        rtol=1e-3,
+    )
+
+
+@pytest.mark.slow
+def test_verbose_messages(capsys):
+    """The verbose phase messages (incl. the streaming banner) must not
+    crash and must carry the reference's phase wording."""
+    sim = _sim(N=30, G=15, seed=16)
+    fit_streaming(sim.Y, sim.L, chunk_cells=10, max_iter=3, seed=1,
+                  verbose=True)
+    out = capsys.readouterr().out
+    assert "Constructing model" in out
+    assert "Streaming 30 cells x 15 genes in 3 chunks of 10" in out
+    assert "Optimizing ELBO" in out
+
+
+def test_validation_errors():
+    sim = _sim(N=20, G=10, seed=15)
+    with pytest.raises(ValueError, match="fused"):
+        fit_streaming(sim.Y, sim.L, likelihood_impl="fused", verbose=False)
+    with pytest.raises(ValueError, match="elbo_eval"):
+        fit_streaming(sim.Y, sim.L, elbo_eval="bogus", verbose=False)
+    with pytest.raises(ValueError, match="chunk_cells"):
+        fit_streaming(sim.Y, sim.L, chunk_cells=0, verbose=False)
+    with pytest.raises(ValueError, match="y_storage"):
+        fit_streaming(sim.Y, sim.L, y_storage="int32", verbose=False)
