@@ -141,6 +141,7 @@ def cmd_fit(args) -> int:
             ("--seed", args.seed != 0),
             ("--y-storage", args.y_storage != "auto"),
             ("--likelihood-impl", args.likelihood_impl != "auto"),
+            ("--stream", args.stream),
         ]
         bad = [flag for flag, set_ in unsupported if set_]
         if bad:
@@ -175,6 +176,24 @@ def cmd_fit(args) -> int:
         y_storage=None if args.y_storage == "float32" else args.y_storage,
         likelihood_impl=args.likelihood_impl,
     )
+    if args.stream:
+        if args.restarts != 1:
+            print("error: --stream does not support --restarts (each restart "
+                  "would re-stream the whole matrix; run them separately)",
+                  file=sys.stderr)
+            return 2
+        from .stream import fit_streaming
+
+        fit = fit_streaming(Y, cnv_input, chunk_cells=args.chunk_cells, **common)
+        _save_fit(fit, args.out)
+        if not args.quiet:
+            import collections
+
+            print(fit)
+            print("clone counts:", dict(collections.Counter(fit.clone)))
+            print(f"final ELBO: {fit.convergence_info.final_elbo:.4f}")
+            print(f"saved -> {args.out}")
+        return 0
     if args.restarts > 1:
         fit = run_clonealign(
             Y, cnv_input, initial_shrinks=(5,), n_repeats=args.restarts,
@@ -311,6 +330,16 @@ def main(argv=None) -> int:
         help="ELBO backend: 'auto' (exact, default), or 'z_cheb' — the "
         "Chebyshev log-normalizer throughput backend (docs/performance.md; "
         "K=1, no covariates)",
+    )
+    p_fit.add_argument(
+        "--stream", action="store_true",
+        help="out-of-HBM streaming fit (fit_streaming): Y streams through "
+             "the device one cell chunk per step; for counts larger than "
+             "device memory",
+    )
+    p_fit.add_argument(
+        "--chunk-cells", type=int, default=None,
+        help="streaming chunk size in cells (default: auto, ~256 MB chunks)",
     )
     p_fit.add_argument("--quiet", action="store_true")
     p_fit.set_defaults(fn=cmd_fit)

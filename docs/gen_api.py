@@ -20,6 +20,11 @@ SECTIONS = [
         "clonealign_tpu.restarts.run_clonealign",
         "clonealign_tpu.api.setup_fit",
     ]),
+    ("Streaming (out-of-HBM) fitting", [
+        "clonealign_tpu.stream.fit_streaming",
+        "clonealign_tpu.models.multinomial.elbo_cell_terms",
+        "clonealign_tpu.models.multinomial.elbo_global_terms",
+    ]),
     ("Serving", [
         "clonealign_tpu.serve.assign_cells",
     ]),

@@ -74,6 +74,33 @@ def test_cli_fit_z_cheb_impl(cli_files, tmp_path):
     assert acc > 0.9
 
 
+def test_cli_stream_fit(cli_files, tmp_path, capsys):
+    """--stream reaches fit_streaming from the CLI (sparse mtx input) and
+    recovers the clones; --stream --restarts is refused."""
+    d, sim = cli_files
+    rc = main([
+        "fit", "--counts", str(d / "counts.mtx.gz"), "--cnv", str(d / "cnv.csv"),
+        "--out", str(tmp_path / "fit_stream.npz"), "--transpose",
+        "--max-iter", "30", "--seed", "1", "--quiet",
+        "--stream", "--chunk-cells", "25",
+    ])
+    assert rc == 0
+
+    from clonealign_tpu.fit import ClonealignFit
+
+    fit = ClonealignFit.load(str(tmp_path / "fit_stream.npz"))
+    acc = assignment_accuracy(fit.clone, fit.clone_names, sim.clone_idx)
+    assert acc > 0.9
+
+    rc = main([
+        "fit", "--counts", str(d / "counts.mtx.gz"), "--cnv", str(d / "cnv.csv"),
+        "--out", str(tmp_path / "no.npz"), "--transpose", "--quiet",
+        "--stream", "--restarts", "3",
+    ])
+    assert rc == 2
+    assert "--stream does not support --restarts" in capsys.readouterr().err
+
+
 def test_cli_rds_fit_out_and_show(cli_files, capsys):
     """`fit --out fit.rds` writes an R-readable fit; `show`/`assign --fit`
     accept .rds directly (reference users' saveRDS files work unchanged)."""
