@@ -73,6 +73,9 @@ def main():
                     "many iterations: through the axon tunnel a single XLA "
                     "execution over ~40-70 s dies with UNAVAILABLE, so long "
                     "fits must stay under that per-call budget")
+    ap.add_argument("--m-steps", type=int, default=5,
+                    help="inner Adam steps per EM iteration "
+                    "(run_negbin_em m_steps)")
     ap.add_argument("--record", action="store_true",
                     help="append the JSON line to results_tpu_r3.jsonl")
     args = ap.parse_args()
@@ -91,14 +94,14 @@ def main():
         (result, total_iters_run)."""
         if args.chunk_iters is None:
             res = nb.run_negbin_em(data, max_iter=args.max_iter,
-                                   rel_tol=1e-6)
+                                   rel_tol=1e-6, m_steps=args.m_steps)
             jax.block_until_ready(res.final_elbo)
             return res, int(res.n_iter)
         res, total = None, 0
         while total < args.max_iter:
             step = min(args.chunk_iters, args.max_iter - total)
             res = nb.run_negbin_em(data, max_iter=step, rel_tol=1e-6,
-                                   resume_from=res)
+                                   m_steps=args.m_steps, resume_from=res)
             jax.block_until_ready(res.final_elbo)
             n = int(res.n_iter)
             total += n
@@ -144,6 +147,7 @@ def main():
         "rho_accuracy": round(float(
             ((np.asarray(res2.post.r) > 0.5)
              == np.asarray(rho2).astype(bool)).mean()), 4),
+        "m_steps": args.m_steps,
         "note": "run_negbin_em, f32 defaults; on-device model3 data; "
                 "warm-cache time on a fresh dataset",
     }
