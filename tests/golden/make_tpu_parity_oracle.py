@@ -36,28 +36,61 @@ MAX_ITER = 500
 CONFIGS = {
     "example": dict(seed=7),
     "synth": dict(seed=11),
+    "allele": dict(seed=13),
 }
+
+
+def allele_dataset():
+    """Expression + SNV data for the allele-specific path (reference
+    R/allele-specific.R wired at R/inference-tflow.R:167-187). The SNV
+    inputs are SAVED into the oracle npz so the on-chip test fits
+    byte-identical arrays — generation determinism never matters."""
+    sim = simulate_multinomial(N=1000, G=400, C=3, seed=5, mean_total=1500)
+    rng = np.random.default_rng(0)
+    V = 200
+    C = sim.L.shape[1]
+    clone_allele = rng.integers(1, 4, (V, C)).astype(np.float64)
+    cov = rng.poisson(8.0, (1000, V)).astype(np.float64)
+    # alt fraction ~0.5 where the true clone's CN is 2, imbalanced otherwise
+    cn = clone_allele[:, np.asarray(sim.clone_idx)]             # (V, N)
+    p = np.where(cn == 2, 0.5, np.where(rng.random(cn.shape) < 0.5, 0.05, 0.95))
+    alt = rng.binomial(cov.T.astype(np.int64), p).astype(np.float64)  # (V, N)
+    ref = cov - alt.T
+    return sim, clone_allele, cov, ref
 
 
 def datasets():
     sce = load_example_sce()
     sim = simulate_multinomial(N=5000, G=1000, C=4, seed=3, mean_total=2000)
+    asim, clone_allele, cov, ref = allele_dataset()
     return {
-        "example": (sce.counts, sce.copy_number),
-        "synth": (sim.Y, sim.L),
+        "example": (sce.counts, sce.copy_number, {}),
+        "synth": (sim.Y, sim.L, {}),
+        "allele": (
+            np.asarray(asim.Y), np.asarray(asim.L),
+            dict(clone_allele=clone_allele, cov=cov, ref=ref),
+        ),
     }
 
 
 def main():
     out = {}
-    for name, (Y, L) in datasets().items():
+    for name, (Y, L, extra) in datasets().items():
         for dtype, tag in (("float64", "64"), ("float32", "32")):
             fit = clonealign(
                 Y, L, max_iter=MAX_ITER, seed=CONFIGS[name]["seed"],
-                dtype=dtype, verbose=False,
+                dtype=dtype, verbose=False, **extra,
             )
             out[f"{name}_elbo{tag}"] = float(fit.convergence_info.final_elbo)
             out[f"{name}_clone{tag}"] = np.array(list(fit.clone))
+            if extra:
+                out[f"{name}_snv{tag}"] = np.asarray(fit.clone_probs_from_snv)
+        if extra:
+            # commit the inputs so the TPU profile fits identical arrays
+            out[f"{name}_Y"] = np.asarray(Y, np.int16)
+            out[f"{name}_L"] = np.asarray(L)
+            for k, v in extra.items():
+                out[f"{name}_{k}"] = v
     path = os.path.join(os.path.dirname(__file__), "tpu_parity_oracle.npz")
     np.savez(path, **out)
     print("wrote", path)
