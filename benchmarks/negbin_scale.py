@@ -73,12 +73,17 @@ def main():
                     "many iterations: through the axon tunnel a single XLA "
                     "execution over ~40-70 s dies with UNAVAILABLE, so long "
                     "fits must stay under that per-call budget")
-    ap.add_argument("--m-steps", type=int, default=5,
+    ap.add_argument("--m-steps", type=int, default=None,
                     help="inner Adam steps per EM iteration "
-                    "(run_negbin_em m_steps)")
+                    "(run_negbin_em m_steps; default 5 exact / 30 cheb)")
+    ap.add_argument("--impl", default="exact", choices=["exact", "cheb"],
+                    help="likelihood backend: exact clone scan or the "
+                    "Chebyshev sufficient-statistics path")
     ap.add_argument("--record", action="store_true",
                     help="append the JSON line to results_tpu_r3.jsonl")
     args = ap.parse_args()
+    if args.m_steps is None:
+        args.m_steps = 30 if args.impl == "cheb" else 5
 
     from clonealign_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
@@ -92,15 +97,18 @@ def main():
     def fit(data):
         """One fit, optionally as resume-chained chunks; returns
         (result, total_iters_run)."""
+        stats = (nb.negbin_cheb_stats(data) if args.impl == "cheb"
+                 else None)
         if args.chunk_iters is None:
-            res = nb.run_negbin_em(data, max_iter=args.max_iter,
+            res = nb.run_negbin_em(data, None, stats, max_iter=args.max_iter,
                                    rel_tol=1e-6, m_steps=args.m_steps)
             jax.block_until_ready(res.final_elbo)
             return res, int(res.n_iter)
         res, total = None, 0
         while total < args.max_iter:
             step = min(args.chunk_iters, args.max_iter - total)
-            res = nb.run_negbin_em(data, max_iter=step, rel_tol=1e-6,
+            res = nb.run_negbin_em(data, None, stats, max_iter=step,
+                                   rel_tol=1e-6,
                                    m_steps=args.m_steps, resume_from=res)
             jax.block_until_ready(res.final_elbo)
             n = int(res.n_iter)
@@ -148,6 +156,7 @@ def main():
             ((np.asarray(res2.post.r) > 0.5)
              == np.asarray(rho2).astype(bool)).mean()), 4),
         "m_steps": args.m_steps,
+        "impl": args.impl,
         "note": "run_negbin_em, f32 defaults; on-device model3 data; "
                 "warm-cache time on a fresh dataset",
     }

@@ -135,19 +135,21 @@ def cmd_fit(args) -> int:
                   "target — the reference deleted the v1 code)", file=sys.stderr)
             return 2
         # the v1 fit is deterministic (no MC, moment init) and has no
-        # storage/likelihood-impl knobs; refusing beats silently ignoring
+        # storage knobs; refusing beats silently ignoring
         unsupported = [
             ("--restarts", args.restarts != 1),
             ("--seed", args.seed != 0),
             ("--y-storage", args.y_storage != "auto"),
-            ("--likelihood-impl", args.likelihood_impl != "auto"),
+            ("--likelihood-impl",
+             args.likelihood_impl not in ("auto", "cheb")),
             ("--stream", args.stream),
         ]
         bad = [flag for flag, set_ in unsupported if set_]
         if bad:
             print(f"error: {', '.join(bad)} not supported with "
                   "--model negbin-v1 (the v1 VEM is deterministic and has "
-                  "no v2 storage/backend knobs)", file=sys.stderr)
+                  "no v2 storage knobs; its backends are 'auto' [exact] "
+                  "and 'cheb')", file=sys.stderr)
             return 2
         L_arr = (np.column_stack([cnv_input[k] for k in cnv_input])
                  if isinstance(cnv_input, dict) else np.asarray(cnv_input))
@@ -158,6 +160,8 @@ def cmd_fit(args) -> int:
                            else args.learning_rate),
             clone_call_probability=args.clone_call_probability,
             clone_names=names, verbose=not args.quiet,
+            likelihood_impl=("cheb" if args.likelihood_impl == "cheb"
+                             else "exact"),
         )
         fit.save(args.out)
         if not args.quiet:
@@ -326,10 +330,11 @@ def main(argv=None) -> int:
     )
     p_fit.add_argument(
         "--likelihood-impl", default="auto",
-        choices=["auto", "xla", "fused", "z_cheb"],
+        choices=["auto", "xla", "fused", "z_cheb", "cheb"],
         help="ELBO backend: 'auto' (exact, default), or 'z_cheb' — the "
         "Chebyshev log-normalizer throughput backend (docs/performance.md; "
-        "K=1, no covariates)",
+        "K=1, no covariates). With --model negbin-v1: 'cheb' — the "
+        "Chebyshev sufficient-statistics VEM (docs/legacy_v1.md)",
     )
     p_fit.add_argument(
         "--stream", action="store_true",

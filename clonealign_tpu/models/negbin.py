@@ -290,6 +290,294 @@ def _elbo_extras(params: NegbinParams, data: NegbinData,
     return prior_pi + prior_rho + h_gamma + h_r
 
 
+# --- Chebyshev sufficient-statistics fast path ------------------------------
+#
+# Every cell-indexed quantity the VEM touches depends on cell n only through
+# (y_ng, s_n): the log-likelihood pieces are, per gene (and clone), smooth
+# 1-D functions of t_n = log s_n multiplied by either y_ng or 1. Expanding
+# those functions in a degree-D Chebyshev series over [min t, max t] (the
+# z_cheb normalizer trick, models/multinomial._compute_logZ_cheb) turns every
+# cell sum into a contraction against PARAMETER-INDEPENDENT sufficient
+# statistics:
+#
+#     sum_n y_ng f_g(t_n)  ~=  sum_d coef_gd(params) * YT_gd,
+#     YT = Y^T @ T,  T[n, d] = T_d(x_n)   (computed ONCE per fit),
+#
+# and, for the gamma-weighted E-step accumulator B, against per-iteration
+# stats YGT = Y^T @ (gamma (x) T) and GT = gamma^T @ T (posterior-dependent
+# but parameter-independent — gamma is FIXED during the M-step). The one term
+# not of this form, sum_n gammaln(y_ng + phi_g), depends on y alone: counts
+# are integers, so it collapses onto a per-gene value histogram,
+# sum_v hist_vg gammaln(v + phi_g).
+#
+# Consequence: the whole M-step objective (and its gradient) costs
+# O(G * (V + C*D)) per inner Adam step — INDEPENDENT of the cell count — so
+# the inner optimization that dominated the exact path (one O(N*G*C) clone
+# scan per Adam step) becomes effectively free, and each EM iteration reads
+# Y exactly twice (the E-step A matmul and the YGT stats matmul).
+#
+# f32 noise structure (why this matches the exact path's netting, see
+# _accumulate's docstring): the functions expanded are the NETTED per-element
+# coefficient functions — the y-coefficient of the clone difference is
+# q_c + log(phi+m0) - log(phi+m1c), whose values are already at residual
+# scale near the optimum — so the netting happens in the scalar node values
+# BEFORE any big reduction, and the parameter-gradients flow through the
+# node table (d/dlog_mu of the llk0 y-coefficient evaluates 1 - sigma at the
+# nodes: no big-minus-big cancellation ever materializes at stats scale).
+#
+# All Y-carrying matmuls are pinned to full precision: routing Y through the
+# MXU's default bf16 single pass was measured to cost real accuracy on this
+# family (clone accuracy 1.0 -> 0.88, NEWS 0.3.0), and these thin
+# contractions are HBM-bound, so HIGHEST is free (same measurement as the
+# v2 A-group pin, models/multinomial.py).
+
+
+class NegbinChebStats(NamedTuple):
+    """Per-fit sufficient statistics for the Chebyshev M-step (param- and
+    posterior-independent; one O(N*G) pass each, computed once).
+
+    The gammaln(y + phi) term splits by count value: values below ``V0``
+    (almost all ELEMENTS) hit an exact per-gene histogram; the rare large
+    values go through a Chebyshev expansion in log y, where gammaln(e^u +
+    phi) is entire-function smooth (its nearest singularity sits ~pi away
+    in the imaginary direction, so convergence is geometric with a large
+    ratio) — ``tailT`` holds the per-gene sums of the tail basis."""
+    T: jax.Array         # (N, D+1) Chebyshev basis at the scaled log s
+    YT: jax.Array        # (G, D+1) Y^T @ T; YT[:, 0] is colsum(Y)
+    sumT: jax.Array      # (D+1,)   column sums of T
+    hist: jax.Array      # (V0, G)  per-gene histogram of values < V0
+    vals: jax.Array      # (V0,)    0..V0-1
+    nodes_t: jax.Array   # (D+1,)   log size factors at the Chebyshev nodes
+    theta: jax.Array     # (D+1,)   node angles (for the DCT transform)
+    tailT: jax.Array     # (G, Dt+1) sum over {y >= V0} of T_d(scaled log y)
+    tail_nodes_u: jax.Array  # (Dt+1,) log-count values at the tail nodes
+    tail_theta: jax.Array    # (Dt+1,)
+
+
+def _cheb_basis(x: jax.Array, degree: int) -> jax.Array:
+    """(N, D+1) Chebyshev-Vandermonde columns by the T_j recurrence."""
+    cols = [jnp.ones_like(x), x]
+    for _ in range(2, degree + 1):
+        cols.append(2.0 * x * cols[-1] - cols[-2])
+    return jnp.stack(cols[: degree + 1], axis=-1)
+
+
+def _cheb_transform(fvals: jax.Array, theta: jax.Array) -> jax.Array:
+    """Node values (..., D+1) -> Chebyshev coefficients (..., D+1), with the
+    mean centered through the transform so the cancellation that produces
+    the small high-order coefficients happens on O(spread) values (the
+    _compute_logZ_cheb hygiene; full precision for the same reason)."""
+    D1 = fvals.shape[-1]
+    dt = fvals.dtype
+    f0 = jnp.mean(fvals, axis=-1, keepdims=True)
+    jj = jnp.arange(D1, dtype=dt)
+    M = jnp.cos(jj[:, None] * theta[None, :])           # (D+1, D+1)
+    with jax.default_matmul_precision("highest"):
+        coef = (2.0 / D1) * jnp.einsum("...k,jk->...j", fvals - f0, M)
+    coef = coef.at[..., 0].mul(0.5)
+    coef = coef.at[..., 0].add(f0[..., 0])
+    return coef
+
+
+def _angles(degree: int, dtype) -> jax.Array:
+    k = jnp.arange(degree + 1, dtype=dtype)
+    return jnp.pi * (k + 0.5) / (degree + 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("degree", "n_vals", "tail_degree", "chunk"),
+)
+def _cheb_stats_program(data: NegbinData, ymax, *, degree: int, n_vals: int,
+                        tail_degree: int, chunk: int = 65_536):
+    t = jnp.log(data.s)
+    t_min, t_max = jnp.min(t), jnp.max(t)
+    mid = 0.5 * (t_min + t_max)
+    half = jnp.maximum(0.5 * (t_max - t_min), 1e-6)
+    x = (t - mid) / half
+    T = _cheb_basis(x, degree)                          # (N, D+1)
+    with jax.default_matmul_precision("highest"):
+        YT = jnp.einsum("ng,nd->gd", data.Y, T)
+    N, G = data.Y.shape
+    dt = data.Y.dtype
+
+    # tail range in u = log y over [log V0, log ymax] (inclusive; the scaled
+    # coordinate is clipped so ymax itself maps inside [-1, 1])
+    u_lo = jnp.log(jnp.asarray(float(n_vals), dt))
+    u_hi = jnp.maximum(jnp.log(jnp.maximum(ymax, float(n_vals))), u_lo + 1e-6)
+    u_mid = 0.5 * (u_lo + u_hi)
+    u_half = jnp.maximum(0.5 * (u_hi - u_lo), 1e-6)
+
+    # one chunked pass over Y: exact value histogram for y < V0 (scatter
+    # rows >= V0 are dropped by the clip-to-extra-row trick) + tail basis
+    # sums. Chunked so no (N, G)-shaped temp beyond Y itself ever exists
+    # (an int32 index copy of a 1M x 2k Y would be 8 GB).
+    cols = jnp.arange(G, dtype=jnp.int32)[None, :]
+    hist = jnp.zeros((n_vals + 1, G), dt)
+    tailT = jnp.zeros((G, tail_degree + 1), dt)
+    for lo in range(0, N, chunk):
+        Yc = jax.lax.slice_in_dim(data.Y, lo, min(lo + chunk, N), axis=0)
+        idx = jnp.minimum(Yc, float(n_vals)).astype(jnp.int32)
+        hist = hist.at[idx, cols].add(1.0)
+        mask = (Yc >= float(n_vals)).astype(dt)
+        xu = jnp.clip((jnp.log(jnp.maximum(Yc, 1.0)) - u_mid) / u_half,
+                      -1.0, 1.0)
+        b_prev = mask                                  # mask * T_0
+        b_cur = mask * xu                              # mask * T_1
+        acc = [jnp.sum(b_prev, axis=0), jnp.sum(b_cur, axis=0)]
+        for _ in range(2, tail_degree + 1):
+            b_prev, b_cur = b_cur, 2.0 * xu * b_cur - b_prev
+            acc.append(jnp.sum(b_cur, axis=0))
+        tailT = tailT + jnp.stack(acc[: tail_degree + 1], axis=-1)
+    hist = hist[:n_vals]
+
+    theta = _angles(degree, dt)
+    tail_theta = _angles(tail_degree, dt)
+    return NegbinChebStats(
+        T=T, YT=YT, sumT=jnp.sum(T, axis=0), hist=hist,
+        vals=jnp.arange(n_vals, dtype=dt),
+        nodes_t=mid + half * jnp.cos(theta), theta=theta,
+        tailT=tailT,
+        tail_nodes_u=u_mid + u_half * jnp.cos(tail_theta),
+        tail_theta=tail_theta,
+    )
+
+
+def negbin_cheb_stats(data: NegbinData, degree: int = 12,
+                      hist_cap: int = 1024,
+                      tail_degree: int = 16) -> NegbinChebStats:
+    """Build the per-fit sufficient statistics for the Chebyshev VEM path.
+
+    Requires integer counts (the gammaln(y + phi) value-histogram and the
+    log-y tail expansion are exact/valid only on integers). ``hist_cap``
+    bounds the exact histogram (values below it — almost all elements);
+    larger values go through the degree-``tail_degree`` log-y expansion.
+    """
+    Ymax = float(jnp.max(data.Y))
+    if not bool(jnp.all(data.Y == jnp.floor(data.Y))):
+        raise ValueError(
+            "likelihood_impl='cheb' requires integer counts (the "
+            "gammaln(y + phi) histogram is exact only on integers); "
+            "use the exact path for non-integer Y"
+        )
+    n_vals = min(int(Ymax) + 1, int(hist_cap))
+    return _cheb_stats_program(
+        data, jnp.asarray(Ymax, data.Y.dtype),
+        degree=int(degree), n_vals=n_vals, tail_degree=int(tail_degree),
+    )
+
+
+class _NBChebCoeffs(NamedTuple):
+    """Chebyshev coefficients of the netted per-element functions of
+    x = scaled log s (all parameter-DEPENDENT; rebuilt per evaluation from
+    O(G*C*D) node values — tiny next to any Y pass)."""
+    g0: jax.Array   # (G, D+1)    y-coeff of llk0:  log m0 - log(phi+m0)
+    h0: jax.Array   # (G, D+1)    1-coeff of llk0:  -phi * log(phi+m0)
+    yc: jax.Array   # (G, C, D+1) y-coeff of D_c:   q_c + u_c
+    oc: jax.Array   # (G, C, D+1) 1-coeff of D_c:   phi * u_c
+
+
+def _netted_cheb_coeffs(params: NegbinParams, data: NegbinData,
+                        stats: NegbinChebStats) -> _NBChebCoeffs:
+    phi = jnp.exp(params.log_phi)                       # (G,)
+    s_nodes = jnp.exp(stats.nodes_t)                    # (D+1,)
+    m0 = jnp.exp(params.log_mu)[:, None] * s_nodes[None, :]   # (G, D+1)
+    logpm0 = jnp.log(phi[:, None] + m0)
+    g0 = params.log_mu[:, None] + stats.nodes_t[None, :] - logpm0
+    h0 = -phi[:, None] * logpm0
+    k1 = jnp.exp(params.log_beta)[:, None] * data.Lp    # (G, C)
+    logpm1 = jnp.log(
+        phi[:, None, None] + k1[:, :, None] * s_nodes[None, None, :]
+    )                                                   # (G, C, D+1)
+    u = logpm0[:, None, :] - logpm1
+    q = (params.log_beta[:, None] + jnp.log(data.Lp)
+         - params.log_mu[:, None])                      # (G, C)
+    return _NBChebCoeffs(
+        g0=_cheb_transform(g0, stats.theta),
+        h0=_cheb_transform(h0, stats.theta),
+        yc=_cheb_transform(q[:, :, None] + u, stats.theta),
+        oc=_cheb_transform(phi[:, None, None] * u, stats.theta),
+    )
+
+
+class _NBGammaStats(NamedTuple):
+    """Per-E-step statistics (posterior-dependent, parameter-independent —
+    gamma is fixed through the following M-step's inner Adam loop)."""
+    YGT: jax.Array  # (G, C, D+1) sum_n y_ng gamma_nc T_d(x_n)
+    GT: jax.Array   # (C, D+1)    sum_n gamma_nc T_d(x_n)
+
+
+def _gamma_stats(data: NegbinData, stats: NegbinChebStats,
+                 gamma: jax.Array) -> _NBGammaStats:
+    N = data.Y.shape[0]
+    C = gamma.shape[1]
+    D1 = stats.T.shape[1]
+    U = (gamma[:, :, None] * stats.T[:, None, :]).reshape(N, C * D1)
+    with jax.default_matmul_precision("highest"):
+        YGT = jnp.einsum("ng,nk->gk", data.Y, U).reshape(-1, C, D1)
+        GT = jnp.einsum("nc,nd->cd", gamma, stats.T)
+    return _NBGammaStats(YGT=YGT, GT=GT)
+
+
+def _B_from_stats(coeffs: _NBChebCoeffs, ps: _NBGammaStats) -> jax.Array:
+    """B_g = sum_nc gamma_nc D_c[n, g], assembled from stats (no Y pass)."""
+    return (jnp.einsum("gcd,gcd->g", coeffs.yc, ps.YGT)
+            + jnp.einsum("gcd,cd->g", coeffs.oc, ps.GT))
+
+
+def _llk0_sum_cheb(params: NegbinParams, stats: NegbinChebStats,
+                   coeffs: _NBChebCoeffs, consts: _NBConsts, N):
+    phi = jnp.exp(params.log_phi)
+    hist_term = jnp.sum(
+        stats.hist * gammaln(stats.vals[:, None] + phi[None, :])
+    )
+    # tail of gammaln(y + phi): per-gene Chebyshev in log y contracted
+    # against the precomputed tail basis sums (exactly zero tail elements
+    # -> tailT is all zeros and this term vanishes identically)
+    tail_nodes = gammaln(
+        jnp.exp(stats.tail_nodes_u)[None, :] + phi[:, None]
+    )                                                   # (G, Dt+1)
+    tail_term = jnp.sum(
+        _cheb_transform(tail_nodes, stats.tail_theta) * stats.tailT
+    )
+    return (
+        hist_term + tail_term
+        - N * jnp.sum(gammaln(phi))
+        - consts.lgamma_y1_sum
+        + N * jnp.sum(phi * params.log_phi)
+        + jnp.sum(coeffs.g0 * stats.YT)
+        + jnp.dot(jnp.sum(coeffs.h0, axis=0), stats.sumT)
+    )
+
+
+def _estep_A_cheb(data: NegbinData, stats: NegbinChebStats,
+                  coeffs: _NBChebCoeffs, gene_w: jax.Array) -> jax.Array:
+    """A[n, c] = sum_g gene_w_g D_c[n, g] via ONE thin (N,G)x(G,C(D+1))
+    matmul + a Chebyshev contraction per cell (replaces the exact path's
+    O(N*G*C) log-heavy clone scan; one Y read total)."""
+    G, C, D1 = coeffs.yc.shape
+    M = (gene_w[:, None, None] * coeffs.yc).reshape(G, C * D1)
+    k = jnp.einsum("g,gcd->cd", gene_w, coeffs.oc)      # (C, D+1)
+    with jax.default_matmul_precision("highest"):
+        YM = (data.Y @ M).reshape(-1, C, D1)            # (N, C, D+1)
+        A = jnp.einsum("nd,ncd->nc", stats.T, YM) + stats.T @ k.T
+    return A
+
+
+def _mstep_objective_cheb(params: NegbinParams, data: NegbinData,
+                          stats: NegbinChebStats, ps: _NBGammaStats,
+                          r: jax.Array, lam, consts: _NBConsts):
+    """The penalized expected log-likelihood from sufficient statistics:
+    O(G*(V + C*D)) per evaluation — no cell-indexed work at all."""
+    coeffs = _netted_cheb_coeffs(params, data, stats)
+    mu = jnp.exp(params.log_mu)
+    beta = jnp.exp(params.log_beta)
+    penalty = lam * jnp.sum((mu - beta * data.l_hat) ** 2)
+    N = data.Y.shape[0]
+    return (_llk0_sum_cheb(params, stats, coeffs, consts, N)
+            + jnp.dot(r, _B_from_stats(coeffs, ps)) - penalty)
+
+
 def prepare_negbin_data(Y, L, s=None, dtype=jnp.float32,
                         chunk: int = 32_768) -> NegbinData:
     """Normalize L to the script's Lp = L / colMeans(L) (reference
@@ -385,6 +673,16 @@ class NegbinResult(NamedTuple):
     opt_state: Optional[tuple] = None
 
 
+class _EMStateCheb(NamedTuple):
+    params: NegbinParams
+    opt_state: tuple
+    post: NegbinPosterior
+    pstats: _NBGammaStats
+    i: jax.Array
+    trace: jax.Array
+    window: jax.Array
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("max_iter", "rel_tol", "lam", "rho_prior",
@@ -394,6 +692,7 @@ class NegbinResult(NamedTuple):
 def run_negbin_em(
     data: NegbinData,
     rho_init: Optional[jax.Array] = None,
+    stats: Optional[NegbinChebStats] = None,
     *,
     max_iter: int = 100,
     rel_tol: float = 1e-6,
@@ -437,6 +736,18 @@ def run_negbin_em(
     chunked run takes the same steps as one long run but may stop at a
     different iteration — identical only when neither stops early
     (e.g. ``rel_tol=0`` or pre-convergence segments).
+
+    ``stats``: a :class:`NegbinChebStats` (from :func:`negbin_cheb_stats`)
+    switches the whole loop onto the Chebyshev sufficient-statistics path:
+    each EM iteration reads Y exactly twice (E-step A matmul + YGT stats
+    matmul) and the inner Adam steps cost O(G*(V + C*D)) — independent of
+    the cell count — so deep inner refinement (large ``m_steps``) is
+    effectively free. The monitored ``elbo_trace`` is then the Chebyshev
+    objective (a ~1e-6-relative-accurate surrogate whose CHANGES track the
+    exact ELBO's); ``final_elbo`` is re-evaluated EXACTLY at the converged
+    state, so it is comparable across impls (and may differ from
+    ``elbo_trace[n_iter]`` by the approximation gap). Resume chunks must
+    keep the same impl.
     """
     import optax
 
@@ -479,31 +790,119 @@ def run_negbin_em(
     logit_prior = jnp.log(rho_prior) - jnp.log1p(-rho_prior)
     consts = _nb_constants(data)
 
-    def estep(params, post):
+    if stats is None:
+        def estep(params, post):
+            log_alpha = jax.nn.log_softmax(params.alpha_logits)
+            # gamma from current r
+            A, _ = _accumulate(params, data, post.r, post.gamma)
+            gamma = jax.nn.softmax(log_alpha[None, :] + A, axis=1)
+            # r from the NEW gamma (proper CAVI ordering)
+            _, B = _accumulate(params, data, post.r, gamma)
+            r = jax.nn.sigmoid(logit_prior + B)
+            # B is exactly _expected_llk's gamma-weighted scan for the new
+            # posterior, so the caller can assemble the ELBO without
+            # re-running the clone scan.
+            return NegbinPosterior(gamma=gamma, r=r), B
+
+        def elbo_from_B(params, post, B):
+            return _elbo_with_B(params, data, post, B, lam, rho_prior)
+
+        def mstep(params, opt_state, post, _pstats=None):
+            # closed-form alpha (exact M-step for the clone prior)
+            alpha = jnp.clip(jnp.mean(post.gamma, axis=0), 1e-12)
+            params = params._replace(alpha_logits=jnp.log(alpha))
+
+            def loss(rates):
+                p = params._replace(log_mu=rates[0], log_beta=rates[1],
+                                    log_phi=rates[2])
+                return -_mstep_objective(p, data, post, lam, consts)
+
+            def one_step(carry, _):
+                rates, opt_state = carry
+                g = jax.grad(loss)(rates)
+                updates, opt_state = opt.update(g, opt_state)
+                rates = optax.apply_updates(rates, updates)
+                return (rates, opt_state), None
+
+            rates0 = (params.log_mu, params.log_beta, params.log_phi)
+            (rates, opt_state), _ = jax.lax.scan(
+                one_step, (rates0, opt_state), None, length=m_steps
+            )
+            return params._replace(log_mu=rates[0], log_beta=rates[1],
+                                   log_phi=rates[2]), opt_state
+
+        if resume_from is None:
+            post, B0 = estep(params, post)
+        else:
+            # the previous chunk's last body iteration already ran its
+            # E-step; re-running it here would move the posterior off that
+            # trajectory. One B pass re-evaluates the ELBO at that state.
+            _, B0 = _accumulate(params, data, post.r, post.gamma)
+        elbo0 = elbo_from_B(params, post, B0)
+        trace = (jnp.full((max_iter + 1,), jnp.nan, data.Y.dtype)
+                 .at[0].set(elbo0))
+        window = jnp.full((window_size,), 1e3, data.Y.dtype)
+
+        def cond(st: _EMState):
+            return ((st.i < max_iter)
+                    & (jnp.mean(jnp.abs(st.window)) >= rel_tol))
+
+        def body(st: _EMState):
+            params, opt_state = mstep(st.params, st.opt_state, st.post)
+            post, B = estep(params, st.post)
+            e = elbo_from_B(params, post, B)
+            prev = st.trace[st.i]
+            rel = (e - prev) / jnp.abs(prev)
+            return _EMState(
+                params=params, opt_state=opt_state, post=post, i=st.i + 1,
+                trace=st.trace.at[st.i + 1].set(e),
+                window=jnp.roll(st.window, 1).at[0].set(rel),
+            )
+
+        st = jax.lax.while_loop(
+            cond, body,
+            _EMState(params=params, opt_state=opt_state, post=post,
+                     i=jnp.asarray(0), trace=trace, window=window),
+        )
+        return NegbinResult(
+            params=st.params, post=st.post, elbo_trace=st.trace,
+            n_iter=st.i, final_elbo=st.trace[st.i],
+            opt_state=st.opt_state,
+        )
+
+    # --- Chebyshev sufficient-statistics loop --------------------------------
+    def elbo_cheb(params, post, B):
+        coeffs = _netted_cheb_coeffs(params, data, stats)
+        penalty = lam * jnp.sum(
+            (jnp.exp(params.log_mu)
+             - jnp.exp(params.log_beta) * data.l_hat) ** 2
+        )
+        N = data.Y.shape[0]
+        return (_llk0_sum_cheb(params, stats, coeffs, consts, N)
+                + jnp.dot(post.r, B) - penalty
+                + _elbo_extras(params, data, post, rho_prior))
+
+    def estep_cheb(params, post):
         log_alpha = jax.nn.log_softmax(params.alpha_logits)
-        # gamma from current r
-        A, _ = _accumulate(params, data, post.r, post.gamma)
+        coeffs = _netted_cheb_coeffs(params, data, stats)
+        A = _estep_A_cheb(data, stats, coeffs, post.r)
         gamma = jax.nn.softmax(log_alpha[None, :] + A, axis=1)
-        # r from the NEW gamma (proper CAVI ordering)
-        _, B = _accumulate(params, data, post.r, gamma)
+        ps = _gamma_stats(data, stats, gamma)
+        B = _B_from_stats(coeffs, ps)
         r = jax.nn.sigmoid(logit_prior + B)
-        # B is exactly _expected_llk's gamma-weighted scan for the new
-        # posterior, so the caller can assemble the ELBO without re-running
-        # the clone scan.
-        return NegbinPosterior(gamma=gamma, r=r), B
+        # ps is parameter-independent, so the NEXT M-step's inner Adam
+        # loop reuses it verbatim — no Y pass inside the optimizer.
+        return NegbinPosterior(gamma=gamma, r=r), ps, B
 
-    def elbo_from_B(params, post, B):
-        return _elbo_with_B(params, data, post, B, lam, rho_prior)
-
-    def mstep(params, opt_state, post):
-        # closed-form alpha (exact M-step for the clone prior)
+    def mstep_cheb(params, opt_state, post, ps):
         alpha = jnp.clip(jnp.mean(post.gamma, axis=0), 1e-12)
         params = params._replace(alpha_logits=jnp.log(alpha))
 
         def loss(rates):
             p = params._replace(log_mu=rates[0], log_beta=rates[1],
                                 log_phi=rates[2])
-            return -_mstep_objective(p, data, post, lam, consts)
+            return -_mstep_objective_cheb(p, data, stats, ps, post.r,
+                                          lam, consts)
 
         def one_step(carry, _):
             rates, opt_state = carry
@@ -520,39 +919,44 @@ def run_negbin_em(
                                log_phi=rates[2]), opt_state
 
     if resume_from is None:
-        post, B0 = estep(params, post)
+        post, ps0, B0 = estep_cheb(params, post)
     else:
-        # the previous chunk's last body iteration already ran its E-step;
-        # re-running it here would move the posterior off that trajectory.
-        # One B pass just re-evaluates the ELBO at the carried state.
-        _, B0 = _accumulate(params, data, post.r, post.gamma)
-    elbo0 = elbo_from_B(params, post, B0)
+        ps0 = _gamma_stats(data, stats, post.gamma)
+        B0 = _B_from_stats(_netted_cheb_coeffs(params, data, stats), ps0)
+    elbo0 = elbo_cheb(params, post, B0)
     trace = jnp.full((max_iter + 1,), jnp.nan, data.Y.dtype).at[0].set(elbo0)
     window = jnp.full((window_size,), 1e3, data.Y.dtype)
 
-    def cond(st: _EMState):
+    def cond_cheb(st: _EMStateCheb):
         return (st.i < max_iter) & (jnp.mean(jnp.abs(st.window)) >= rel_tol)
 
-    def body(st: _EMState):
-        params, opt_state = mstep(st.params, st.opt_state, st.post)
-        post, B = estep(params, st.post)
-        e = elbo_from_B(params, post, B)
+    def body_cheb(st: _EMStateCheb):
+        params, opt_state = mstep_cheb(st.params, st.opt_state, st.post,
+                                       st.pstats)
+        post, ps, B = estep_cheb(params, st.post)
+        e = elbo_cheb(params, post, B)
         prev = st.trace[st.i]
         rel = (e - prev) / jnp.abs(prev)
-        return _EMState(
-            params=params, opt_state=opt_state, post=post, i=st.i + 1,
+        return _EMStateCheb(
+            params=params, opt_state=opt_state, post=post, pstats=ps,
+            i=st.i + 1,
             trace=st.trace.at[st.i + 1].set(e),
             window=jnp.roll(st.window, 1).at[0].set(rel),
         )
 
     st = jax.lax.while_loop(
-        cond, body,
-        _EMState(params=params, opt_state=opt_state, post=post,
-                 i=jnp.asarray(0), trace=trace, window=window),
+        cond_cheb, body_cheb,
+        _EMStateCheb(params=params, opt_state=opt_state, post=post,
+                     pstats=ps0, i=jnp.asarray(0), trace=trace,
+                     window=window),
     )
+    # exact final ELBO at the converged state (one exact clone scan), so
+    # fits are comparable across impls and against the golden pins
+    _, B_exact = _accumulate(st.params, data, st.post.r, st.post.gamma)
+    final = _elbo_with_B(st.params, data, st.post, B_exact, lam, rho_prior)
     return NegbinResult(
         params=st.params, post=st.post, elbo_trace=st.trace,
-        n_iter=st.i, final_elbo=st.trace[st.i],
+        n_iter=st.i, final_elbo=final,
         opt_state=st.opt_state,
     )
 
@@ -738,11 +1142,13 @@ def inference_em(
     rho_prior: float = 0.5,
     s=None,
     learning_rate: float = 0.05,
-    m_steps: int = 5,
+    m_steps: Optional[int] = None,
     clone_call_probability: float = 0.95,
     clone_names=None,
     dtype=jnp.float32,
     verbose: bool = True,
+    likelihood_impl: str = "exact",
+    z_degree: int = 12,
 ) -> ClonealignV1Fit:
     """Fit the v1 negative-binomial dosage mixture (the function the
     reference's legacy driver calls: inst/create_model3_synthetic.R:104-105
@@ -753,8 +1159,24 @@ def inference_em(
     are the variational marginals (the analog of
     `clone_probs_from_gibbs` / `rho_probs_from_gibbs`,
     reference inst/create_model3_synthetic.R:46-52).
+
+    ``likelihood_impl="cheb"`` switches the loop onto the Chebyshev
+    sufficient-statistics path (see :func:`run_negbin_em`): inner Adam
+    steps stop touching Y entirely, so ``m_steps`` defaults to 30 there
+    (vs 5 on the exact path, where each inner step costs a full clone
+    scan). Requires integer counts; ``z_degree`` sets the expansion degree
+    over the log-size-factor range.
     """
+    if likelihood_impl not in ("exact", "cheb"):
+        raise ValueError(
+            f"likelihood_impl must be 'exact' or 'cheb', got "
+            f"{likelihood_impl!r}"
+        )
+    if m_steps is None:
+        m_steps = 30 if likelihood_impl == "cheb" else 5
     data = prepare_negbin_data(Y, L, s=s, dtype=dtype)
+    stats = (negbin_cheb_stats(data, degree=int(z_degree))
+             if likelihood_impl == "cheb" else None)
     C = data.Lp.shape[1]
     if clone_names is None:
         # default clone naming, as the v2 driver does (reference
@@ -769,6 +1191,7 @@ def inference_em(
     result = run_negbin_em(
         data,
         None if rho_init is None else jnp.asarray(rho_init, dtype),
+        stats,
         max_iter=int(max_iter), rel_tol=float(rel_tol), lam=float(lam),
         rho_prior=float(rho_prior), learning_rate=float(learning_rate),
         m_steps=int(m_steps),
