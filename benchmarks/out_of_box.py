@@ -1,0 +1,103 @@
+"""Out-of-box headline probe (VERDICT r3 next-round item 2).
+
+Times a PLAIN ``run_clonealign(Y, L, seed=...)`` — no tuning knobs — at the
+headline 100k x 5k x 10 scale on the real chip, now that the shipped
+defaults resolve to the benchmarked configuration (y_storage="auto" -> int8,
+likelihood_impl="auto" -> z_cheb, remat="auto" -> off under z_cheb). The
+reference defines the product surface as its defaults
+(reference R/clonealign.R:184-203 and R/clonealign.R:35-38: 3 shrinks x 3
+repeats, max_iter=200, rel_tol=1e-6); this probe measures exactly that call.
+
+Reported split:
+  setup_s  — host-side parse/validate/filter + device upload (one-time data
+             loading; scales with host RAM bandwidth, not the chip)
+  fit_s    — everything after setup: the compiled sweep + fit packaging
+             (the number comparable to bench.py's tuned sweep time)
+  total_s  — end-to-end wall clock of the second call (compile cached)
+
+Appends a JSON line to benchmarks/results_tpu_r4.jsonl when run with
+--commit; prints it always.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from clonealign_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from bench import make_synthetic
+
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
+    N, G, C = (512, 128, 4) if smoke else (100_000, 5_000, 10)
+    max_iter = 200
+
+    key = jax.random.PRNGKey(0)
+    k_data, _ = jax.random.split(key)
+    Yd, Ld, _z = make_synthetic(k_data, N, G, C, jnp.float32, out_dtype=jnp.int16)
+    # the user's starting point: host-resident integer counts
+    Y = np.asarray(jax.device_get(Yd))
+    L = np.asarray(jax.device_get(Ld), np.float64)
+    del Yd, Ld
+
+    from clonealign_tpu import run_clonealign
+    from clonealign_tpu.api import setup_fit
+
+    def one_call(seed):
+        t0 = time.perf_counter()
+        fit = run_clonealign(
+            Y, L, seed=seed, verbose=False, print_elbos=False,
+            multirun_correlations=False,
+        )
+        return fit, time.perf_counter() - t0
+
+    # call 1: compile (excluded)
+    fit, _ = one_call(0)
+    # measure host-side setup alone so fit_s = total - setup is honest
+    t0 = time.perf_counter()
+    ctx = setup_fit(Y, L, verbose=False)
+    jax.block_until_ready(ctx.data.Y)
+    setup_s = time.perf_counter() - t0
+    del ctx
+
+    total_s = float("inf")
+    for rep in (1, 2):
+        fit, t = one_call(rep)
+        total_s = min(total_s, t)
+
+    n_iters = int(fit.convergence_info.n_iters)
+    elbos = [round(float(e), 1) for e in fit.multirun_info["elbos"]]
+    out = {
+        "metric": ("out_of_box run_clonealign (smoke)" if smoke else
+                   "out_of_box run_clonealign (100k x 5k x 10, defaults: "
+                   "9 restarts, max_iter=200, rel_tol=1e-6)"),
+        "total_s": round(total_s, 2),
+        "setup_s": round(setup_s, 2),
+        "fit_s": round(total_s - setup_s, 2),
+        "cells_assigned_per_sec": round(N * 9 / max(total_s - setup_s, 1e-9), 1),
+        "best_run_n_iters": n_iters,
+        "y_storage_resolved": str(np.dtype(np.int8)) if not smoke else "auto",
+        "final_elbos": elbos,
+        "config": {"N": N, "G": G, "C": C, "restarts": 9, "max_iter": max_iter},
+    }
+    print(json.dumps(out))
+    if "--commit" in sys.argv:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results_tpu_r4.jsonl")
+        with open(path, "a") as fh:
+            fh.write(json.dumps(out) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -170,6 +170,13 @@ def cmd_fit(args) -> int:
             print(f"saved -> {args.out}")
         return 0
 
+    if args.likelihood_impl == "cheb":
+        # 'cheb' is the negbin-v1 VEM backend only; the v2 analog is 'z_cheb'
+        print("error: --likelihood-impl cheb is only valid with "
+              "--model negbin-v1 (for the default multinomial model use "
+              "'z_cheb')", file=sys.stderr)
+        return 2
+
     common = dict(
         max_iter=args.max_iter,
         rel_tol=args.rel_tol,
@@ -331,10 +338,13 @@ def main(argv=None) -> int:
     p_fit.add_argument(
         "--likelihood-impl", default="auto",
         choices=["auto", "xla", "fused", "z_cheb", "cheb"],
-        help="ELBO backend: 'auto' (exact, default), or 'z_cheb' — the "
-        "Chebyshev log-normalizer throughput backend (docs/performance.md; "
-        "K=1, no covariates). With --model negbin-v1: 'cheb' — the "
-        "Chebyshev sufficient-statistics VEM (docs/legacy_v1.md)",
+        help="ELBO backend: 'auto' (default; resolves to 'z_cheb' in the "
+        "benchmarked K=1/no-covariate/float32 corner, else exact 'xla' — "
+        "the reported final ELBO is always re-evaluated exactly), 'xla' "
+        "(force exact), or 'z_cheb' — the Chebyshev log-normalizer "
+        "throughput backend (docs/performance.md; K=1, no covariates). "
+        "With --model negbin-v1: 'cheb' — the Chebyshev "
+        "sufficient-statistics VEM (docs/legacy_v1.md)",
     )
     p_fit.add_argument(
         "--stream", action="store_true",

@@ -202,10 +202,20 @@ def run_inference(
         )
 
     # Final ELBO: mean/sd over fresh stochastic evaluations
-    # (reference R/inference-tflow.R:447-454).
+    # (reference R/inference-tflow.R:447-454). When training used the
+    # Chebyshev-approximated normalizer, the REPORTED ELBO is re-evaluated
+    # through the exact one: these are forward-only evaluations, the
+    # clone-normalizer matmul is sample-independent across the vmap (rfe
+    # stays unbatched), and an exact report means z_cheb fits are directly
+    # comparable to exact-path / reference ELBOs with no approximation term.
+    final_config = (
+        config._replace(likelihood_impl="xla")
+        if mm._use_z_cheb(config)
+        else config
+    )
     eval_keys = jax.random.split(jax.random.fold_in(st.key, 7), n_final_elbo_samples)
     finals = jax.vmap(
-        lambda k: mm.elbo(st.params, data, k, config, extra_log_lik)
+        lambda k: mm.elbo(st.params, data, k, final_config, extra_log_lik)
     )(eval_keys)
     final_elbo = jnp.mean(finals)
     sd_final = jnp.std(finals, ddof=1)

@@ -134,11 +134,14 @@ class ModelConfig(NamedTuple):
     P: int = 0
     mc_samples: int = 1
     fix_alpha: bool = False
-    # Likelihood backend: "auto" -> the XLA decomposed path (measured fastest,
-    # see _use_fused); "fused" -> the Pallas kernel; "xla" -> force XLA;
-    # "z_cheb" -> the XLA path with the log-normalizer evaluated through a
-    # per-(sample, clone) Chebyshev expansion in psi (K=1, P=0 only — see
-    # _compute_logZ_cheb; opt-in throughput mode like int8 storage).
+    # Likelihood backend: "xla" -> the exact XLA decomposed path; "fused" ->
+    # the Pallas kernel; "z_cheb" -> the XLA path with the log-normalizer
+    # evaluated through a per-(sample, clone) Chebyshev expansion in psi
+    # (K=1, P=0 only — see _compute_logZ_cheb). At THIS layer "auto" is a
+    # synonym for "xla"; the public API (api.setup_fit) resolves "auto" to
+    # z_cheb in the benchmarked K=1/P=0/S=1/float32 corner before the config
+    # reaches the model, so out-of-box fits run the fast normalizer while
+    # hand-built ModelConfigs keep exact semantics.
     likelihood_impl: str = "auto"
     # Chebyshev degree for likelihood_impl="z_cheb". Measured on-chip
     # (round 3): D=16 is 22% faster per step than D=32 at 100k x 5k x 10

@@ -671,6 +671,13 @@ class NegbinResult(NamedTuple):
     # trajectory (needed e.g. where single XLA executions have a wall
     # budget; each chunk stays under it). None on pre-resume results.
     opt_state: Optional[tuple] = None
+    # Which backend produced this result: None = exact clone-scan path,
+    # int = Chebyshev sufficient-statistics path of that degree. Set by the
+    # run_negbin_em wrapper (plain Python int, not a traced leaf) so
+    # resume_from can REFUSE a silently-mixed trajectory across impls
+    # (advisor r3): the two loops optimize slightly different monitored
+    # objectives and carry incompatible Adam-noise structure.
+    cheb_degree: Optional[int] = None
 
 
 class _EMStateCheb(NamedTuple):
@@ -689,7 +696,7 @@ class _EMStateCheb(NamedTuple):
                      "learning_rate", "m_steps", "window_size",
                      "lr_decay_rate", "lr_decay_iters"),
 )
-def run_negbin_em(
+def _run_negbin_em_program(
     data: NegbinData,
     rho_init: Optional[jax.Array] = None,
     stats: Optional[NegbinChebStats] = None,
@@ -705,49 +712,8 @@ def run_negbin_em(
     lr_decay_iters: int = 100,
     resume_from: Optional[NegbinResult] = None,
 ) -> NegbinResult:
-    """The full variational-EM fit as one jitted program.
-
-    Each iteration: CAVI gamma update (from current r) -> CAVI r update
-    (from the new gamma) -> closed-form alpha -> ``m_steps`` Adam steps on
-    (log mu, log beta, log phi). Stops when the mean |relative ELBO change|
-    over ``window_size`` iterations drops below ``rel_tol`` (the v2 loop's
-    criterion, reference R/inference-tflow.R:404-416, reused for the v1
-    family whose own stopping rule is unrecorded).
-
-    The Adam step size decays smoothly: lr(i) = learning_rate *
-    lr_decay_rate ** (i / lr_decay_iters) over EM iterations i. A CONSTANT
-    lr never converges at scale: f32 gradient noise (~10% of |g| at
-    100k x 2k, measured) drives a fixed-size random walk near the optimum
-    — the monitored ELBO oscillates at ~3e-4 relative and degrades past
-    ~300 iterations, so rel_tol can never fire. With decay the ELBO climbs
-    monotonically through that plateau and the window criterion triggers
-    (measured: better final ELBO AND earlier stop than constant lr).
-    ``lr_decay_rate=1.0`` restores the constant-lr behavior.
-
-    Scale note: the monitored ELBO is evaluated in f32, whose tree-reduce
-    noise over N*G elements is ~5e-6 relative at N*G ~ 2e8 — rel_tol below
-    that floor cannot trigger on huge inputs; budget with ``max_iter``
-    (quality plateaus by ~100-200 iterations at that scale) or raise
-    rel_tol to ~1e-5.
-
-    ``resume_from``: a previous :class:`NegbinResult` — continues its
-    trajectory exactly (params, posterior, and Adam moments are all
-    carried). Caveat: the convergence WINDOW restarts each chunk, so a
-    chunked run takes the same steps as one long run but may stop at a
-    different iteration — identical only when neither stops early
-    (e.g. ``rel_tol=0`` or pre-convergence segments).
-
-    ``stats``: a :class:`NegbinChebStats` (from :func:`negbin_cheb_stats`)
-    switches the whole loop onto the Chebyshev sufficient-statistics path:
-    each EM iteration reads Y exactly twice (E-step A matmul + YGT stats
-    matmul) and the inner Adam steps cost O(G*(V + C*D)) — independent of
-    the cell count — so deep inner refinement (large ``m_steps``) is
-    effectively free. The monitored ``elbo_trace`` is then the Chebyshev
-    objective (a ~1e-6-relative-accurate surrogate whose CHANGES track the
-    exact ELBO's); ``final_elbo`` is re-evaluated EXACTLY at the converged
-    state, so it is comparable across impls (and may differ from
-    ``elbo_trace[n_iter]`` by the approximation gap). Resume chunks must
-    keep the same impl.
+    """Jitted core of :func:`run_negbin_em` (which validates resume/impl
+    compatibility and stamps the backend marker before/after this program).
     """
     import optax
 
@@ -959,6 +925,84 @@ def run_negbin_em(
         n_iter=st.i, final_elbo=final,
         opt_state=st.opt_state,
     )
+
+
+def run_negbin_em(
+    data: NegbinData,
+    rho_init: Optional[jax.Array] = None,
+    stats: Optional[NegbinChebStats] = None,
+    *,
+    resume_from: Optional[NegbinResult] = None,
+    **em_kwargs,
+) -> NegbinResult:
+    """The full variational-EM fit as one jitted program.
+
+    Each iteration: CAVI gamma update (from current r) -> CAVI r update
+    (from the new gamma) -> closed-form alpha -> ``m_steps`` Adam steps on
+    (log mu, log beta, log phi). Stops when the mean |relative ELBO change|
+    over ``window_size`` iterations drops below ``rel_tol`` (the v2 loop's
+    criterion, reference R/inference-tflow.R:404-416, reused for the v1
+    family whose own stopping rule is unrecorded).
+
+    The Adam step size decays smoothly: lr(i) = learning_rate *
+    lr_decay_rate ** (i / lr_decay_iters) over EM iterations i. A CONSTANT
+    lr never converges at scale: f32 gradient noise (~10% of |g| at
+    100k x 2k, measured) drives a fixed-size random walk near the optimum
+    — the monitored ELBO oscillates at ~3e-4 relative and degrades past
+    ~300 iterations, so rel_tol can never fire. With decay the ELBO climbs
+    monotonically through that plateau and the window criterion triggers
+    (measured: better final ELBO AND earlier stop than constant lr).
+    ``lr_decay_rate=1.0`` restores the constant-lr behavior.
+
+    Scale note: the monitored ELBO is evaluated in f32, whose tree-reduce
+    noise over N*G elements is ~5e-6 relative at N*G ~ 2e8 — rel_tol below
+    that floor cannot trigger on huge inputs; budget with ``max_iter``
+    (quality plateaus by ~100-200 iterations at that scale) or raise
+    rel_tol to ~1e-5.
+
+    ``resume_from``: a previous :class:`NegbinResult` — continues its
+    trajectory exactly (params, posterior, and Adam moments are all
+    carried). Caveat: the convergence WINDOW restarts each chunk, so a
+    chunked run takes the same steps as one long run but may stop at a
+    different iteration — identical only when neither stops early
+    (e.g. ``rel_tol=0`` or pre-convergence segments).
+
+    ``stats``: a :class:`NegbinChebStats` (from :func:`negbin_cheb_stats`)
+    switches the whole loop onto the Chebyshev sufficient-statistics path:
+    each EM iteration reads Y exactly twice (E-step A matmul + YGT stats
+    matmul) and the inner Adam steps cost O(G*(V + C*D)) — independent of
+    the cell count — so deep inner refinement (large ``m_steps``) is
+    effectively free. The monitored ``elbo_trace`` is then the Chebyshev
+    objective (a ~1e-6-relative-accurate surrogate whose CHANGES track the
+    exact ELBO's); ``final_elbo`` is re-evaluated EXACTLY at the converged
+    state, so it is comparable across impls (and may differ from
+    ``elbo_trace[n_iter]`` by the approximation gap). Resume chunks must
+    keep the same impl AND (for cheb) the same degree: each result carries a
+    ``cheb_degree`` marker and this wrapper raises on a mismatch rather than
+    silently continuing a mixed trajectory (the two loops optimize slightly
+    different monitored objectives with incompatible Adam-noise structure).
+    """
+    degree = None if stats is None else int(stats.T.shape[1]) - 1
+    if resume_from is not None:
+        prev = getattr(resume_from, "cheb_degree", None)
+        if prev != degree:
+            def _impl(d):
+                return "exact" if d is None else f"cheb (degree {d})"
+            raise ValueError(
+                "resume_from was produced by the "
+                f"{_impl(prev)} backend but this call selects "
+                f"{_impl(degree)}; resume chunks must keep the same impl "
+                "(pass the same `stats` argument, or none, as the "
+                "original run)"
+            )
+        # strip the host-side marker before entering the jitted program
+        # (an int leaf would be traced; None keeps the pytree structure
+        # identical to the program's own output)
+        resume_from = resume_from._replace(cheb_degree=None)
+    result = _run_negbin_em_program(
+        data, rho_init, stats, resume_from=resume_from, **em_kwargs
+    )
+    return result._replace(cheb_degree=degree)
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter", "rho_prior"))

@@ -77,3 +77,48 @@ def process_cell_slice(n_cells_global: int) -> slice:
     start = p * per
     stop = n_cells_global if p == n - 1 else start + per
     return slice(start, stop)
+
+
+def distributed_fit(
+    Y_local,
+    L,
+    mesh=None,
+    *,
+    x_local=None,
+    **fit_kwargs,
+):
+    """Complete multi-restart clonealign fit from per-process cell shards.
+
+    The multi-host driver in one call: every process passes only ITS rows of
+    the count matrix (``process_cell_slice`` of the global cell axis, in
+    process order), the global sharded array is assembled with
+    :func:`host_local_to_global`, and the standard GSPMD sweep
+    (:func:`~clonealign_tpu.parallel.sharding.sharded_fit`) executes
+    collectively — identical program, identical numerics to the
+    single-controller fit on the same global data and keys (the per-process
+    split only changes which host feeds which shard). On a single process it
+    degenerates to ``sharded_fit`` on the full matrix.
+
+    ``mesh`` defaults to all global devices on the cells axis (the natural
+    multi-host layout: the process boundary is a cells-axis boundary). A
+    2-D (cells, genes) mesh also works when each process's device block
+    spans whole cell rows — i.e. the genes axis is intra-process — which is
+    how :func:`~clonealign_tpu.parallel.sharding.make_mesh` lays out
+    process-contiguous device lists.
+
+    Accepts the same keyword surface as ``sharded_fit`` (``n_restarts``,
+    ``config``, ``dtype``, ``y_storage``, ``max_iter`` ...). Returns the
+    stacked :class:`~clonealign_tpu.infer.InferenceResult`; per-cell outputs
+    (``gamma_logits``, ``psi``) come back sharded over cells — each process
+    addresses its own rows, or replicate explicitly for a global view.
+    """
+    from .sharding import GENE_AXIS, make_mesh, sharded_fit
+
+    if mesh is None:
+        mesh = make_mesh()
+    Y_local = np.asarray(Y_local)
+    Y_global = host_local_to_global(Y_local, mesh, P(CELL_AXIS, GENE_AXIS))
+    x = None
+    if x_local is not None:
+        x = host_local_to_global(np.asarray(x_local), mesh)
+    return sharded_fit(Y_global, np.asarray(L), mesh, x=x, **fit_kwargs)

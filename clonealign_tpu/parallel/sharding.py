@@ -197,7 +197,11 @@ def sharded_fit(
 
     from ..utils.sparsity import is_scipy_sparse
 
-    Y_in = Y if is_scipy_sparse(Y) else np.asarray(Y)
+    # jax.Arrays pass through untouched: a multi-process (multi-controller)
+    # caller hands in a GLOBAL array assembled by
+    # distributed.host_local_to_global, which is not host-materializable
+    # (np.asarray on a non-fully-addressable array raises).
+    Y_in = Y if (is_scipy_sparse(Y) or isinstance(Y, jax.Array)) else np.asarray(Y)
     data = mm.prepare_data(Y_in, np.asarray(L), x=x, dtype=dtype, y_storage=y_storage)
     data = shard_data(data, mesh)
     extra_log_lik = shard_extra_log_lik(extra_log_lik, mesh)

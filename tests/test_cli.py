@@ -74,6 +74,21 @@ def test_cli_fit_z_cheb_impl(cli_files, tmp_path):
     assert acc > 0.9
 
 
+def test_cli_cheb_impl_requires_negbin_v1(cli_files, tmp_path, capsys):
+    """'cheb' is the negbin-v1 VEM backend; with the default v2 model the
+    CLI must exit 2 with a clean error, not a raw ValueError traceback
+    (advisor r3 finding)."""
+    d, _sim = cli_files
+    rc = main([
+        "fit", "--counts", str(d / "counts.mtx.gz"), "--cnv", str(d / "cnv.csv"),
+        "--out", str(tmp_path / "nope.npz"), "--transpose", "--quiet",
+        "--likelihood-impl", "cheb",
+    ])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "negbin-v1" in err and "z_cheb" in err
+
+
 def test_cli_stream_fit(cli_files, tmp_path, capsys):
     """--stream reaches fit_streaming from the CLI (sparse mtx input) and
     recovers the clones; --stream --restarts is refused."""

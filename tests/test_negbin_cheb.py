@@ -200,3 +200,28 @@ def test_resume_continues_cheb_trajectory():
         float(second.final_elbo), float(full.final_elbo),
         rtol=1e-6,
     )
+
+
+def test_resume_refuses_mixed_impl():
+    """A NegbinResult carries its backend marker (cheb_degree); resuming
+    with a different impl or degree must raise instead of silently
+    continuing a mixed trajectory (advisor r3 finding)."""
+    sim = simulate_model3(N=80, G=40, C=3, seed=13)
+    data = nb.prepare_negbin_data(sim.Y, sim.L)
+    stats = nb.negbin_cheb_stats(data, degree=12)
+    r_exact = nb.run_negbin_em(data, max_iter=3, rel_tol=0.0)
+    r_cheb = nb.run_negbin_em(data, None, stats, max_iter=3, rel_tol=0.0)
+    assert r_exact.cheb_degree is None
+    assert r_cheb.cheb_degree == 12
+    with pytest.raises(ValueError, match="exact backend"):
+        nb.run_negbin_em(data, None, stats, max_iter=3, resume_from=r_exact)
+    with pytest.raises(ValueError, match="cheb \\(degree 12\\)"):
+        nb.run_negbin_em(data, max_iter=3, resume_from=r_cheb)
+    stats8 = nb.negbin_cheb_stats(data, degree=8)
+    with pytest.raises(ValueError, match="degree 8"):
+        nb.run_negbin_em(data, None, stats8, max_iter=3, resume_from=r_cheb)
+    # matching impls still resume fine
+    cont = nb.run_negbin_em(data, None, stats, max_iter=3, rel_tol=0.0,
+                            resume_from=r_cheb)
+    assert cont.cheb_degree == 12
+    assert np.isfinite(float(cont.final_elbo))
