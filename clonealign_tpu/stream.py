@@ -304,6 +304,7 @@ def fit_streaming(
     likelihood_impl: str = "auto",
     window_size: int = 10,
     n_final_elbo_samples: int = 20,
+    mesh=None,
 ) -> ClonealignFit:
     """:func:`~clonealign_tpu.clonealign` for count matrices larger than
     device memory — same model, same optimizer, same parameter surface
@@ -314,6 +315,17 @@ def fit_streaming(
     counts larger than host RAM), or a scipy sparse matrix. ``y_storage``
     defaults to ``"auto"`` (narrowest exact integer dtype) because the
     streamed bytes are the bottleneck here, not a cache.
+
+    ``mesh`` (a ``jax.sharding.Mesh`` from
+    :func:`~clonealign_tpu.parallel.sharding.make_mesh`) composes streaming
+    with device parallelism: each streamed chunk tiles over
+    (cells x genes), the resident per-cell state shards over cells, and the
+    per-gene parameters shard over genes — so the out-of-HBM path scales
+    past ONE chip's memory to the slice's aggregate. Decision rule
+    (docs/scaling.md): mesh first (Y ≤ aggregate HBM: in-core ``sharded_fit``
+    is HBM-bound, streaming is link-bound), stream only past aggregate HBM,
+    and then still shard the stream if a slice is available — chunk compute
+    parallelizes even though the link is the bottleneck.
     """
     if elbo_eval not in ("fresh", "reuse"):
         raise ValueError(f"elbo_eval must be 'fresh' or 'reuse', got {elbo_eval!r}")
@@ -392,6 +404,32 @@ def fit_streaming(
     if likelihood_impl == "z_cheb":
         mm._use_z_cheb(config)  # validate K/P eagerly
 
+    # --- optional device-mesh composition: chunks tile over (cells, genes),
+    # resident per-cell state over cells, per-gene params over genes — the
+    # same layout as parallel/sharding.py, applied per streamed chunk ---
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _PS
+
+        def _shard(arr, *axes):
+            # Per-axis graceful degradation: ``device_put`` requires each
+            # sharded dimension to divide evenly across its mesh axis, and
+            # streamed chunks are ragged at the tail (and N, G need not be
+            # multiples of the mesh). An axis that doesn't divide stays
+            # replicated — a pure layout choice, numerically exact; only that
+            # chunk's compute loses the parallelism on that one axis.
+            if arr is None:
+                return None
+            arr = jnp.asarray(arr)
+            spec = tuple(
+                ax if (ax is not None and arr.shape[d] % mesh.shape[ax] == 0)
+                else None
+                for d, ax in enumerate(axes)
+            )
+            return jax.device_put(arr, NamedSharding(mesh, _PS(*spec)))
+    else:
+        def _shard(arr, *axes):
+            return arr
+
     chunk = _resolve_chunk_cells(chunk_cells, N, G)
     bounds = _chunk_bounds(N, chunk)
     n_chunks = len(bounds)
@@ -423,7 +461,7 @@ def fit_streaming(
         return np.ascontiguousarray(src[i:j], dtype=host_np)
 
     def put_chunk(i, j) -> jax.Array:
-        y = jnp.asarray(get_chunk(i, j))
+        y = _shard(jnp.asarray(get_chunk(i, j)), "cells", "genes")
         return y if dev_cast is None else y.astype(dev_cast)
 
     # --- per-chunk statistics pass (one-time, full precision; same kernel
@@ -448,11 +486,16 @@ def fit_streaming(
         ymax = max(ymax, float(mx))
         max_nonint = max(max_nonint, float(ni))
         statics.append(_ChunkStatic(
-            X=None if x is None else jnp.asarray(x[i:j], jdtype),
-            s=s_c, log_binom=lb_c, YlogL=B_c,
-            extra=None if extra_log_lik is None else extra_log_lik[i:j],
+            X=None if x is None else _shard(jnp.asarray(x[i:j], jdtype), "cells", None),
+            s=_shard(s_c, "cells"),
+            log_binom=_shard(lb_c, "cells"),
+            YlogL=_shard(B_c, "cells", None),
+            extra=None if extra_log_lik is None
+            else _shard(extra_log_lik[i:j], "cells", None),
         ))
         del blk, yc
+    colsum = _shard(colsum, "genes")
+    L_dev = _shard(L_dev, "genes", None)  # stats pass above ran unsharded
     if storage is not None and jnp.issubdtype(jnp.dtype(storage), jnp.integer):
         info = jnp.iinfo(jnp.dtype(storage))
         if ymax > info.max:
@@ -493,15 +536,18 @@ def fit_streaming(
         mu_guess = mu_guess / jnp.mean(mu_guess)
 
     shared = _Shared(
-        W=jnp.zeros((G, max(K, 0)), jdtype),
-        chi_unconstr=jnp.zeros((max(K, 0),), jdtype),
-        beta=jnp.zeros((G, P), jdtype),
-        alpha_unconstr=jnp.zeros((C,), jdtype),
-        qmu_loc=mm.safe_inverse_softplus(mu_guess).astype(jdtype),
-        qmu_log_scale=jnp.zeros((G,), jdtype),
+        W=_shard(jnp.zeros((G, max(K, 0)), jdtype), "genes", None),
+        chi_unconstr=_shard(jnp.zeros((max(K, 0),), jdtype)),
+        beta=_shard(jnp.zeros((G, P), jdtype), "genes", None),
+        alpha_unconstr=_shard(jnp.zeros((C,), jdtype)),
+        qmu_loc=_shard(mm.safe_inverse_softplus(mu_guess).astype(jdtype), "genes"),
+        qmu_log_scale=_shard(jnp.zeros((G,), jdtype), "genes"),
     )
     cells = [
-        _Cell(psi=psi0[i:j], gamma_logits=jnp.zeros((j - i, C), jdtype))
+        _Cell(
+            psi=_shard(psi0[i:j], "cells", None),
+            gamma_logits=_shard(jnp.zeros((j - i, C), jdtype), "cells", None),
+        )
         for i, j in bounds
     ]
     del psi0

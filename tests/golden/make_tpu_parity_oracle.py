@@ -37,6 +37,7 @@ CONFIGS = {
     "example": dict(seed=7),
     "synth": dict(seed=11),
     "allele": dict(seed=13),
+    "rich": dict(seed=17),
 }
 
 
@@ -59,32 +60,61 @@ def allele_dataset():
     return sim, clone_allele, cov, ref
 
 
+def rich_dataset():
+    """The non-default corner (VERDICT r3 weak item 5): K=2 latent factors,
+    P=2 covariates, mc_samples=3, fix_alpha — the paths that add their own
+    contractions (``A1`` + ``X @ beta``, per-sample Z) and their own on-TPU
+    matmul-precision exposure. Covariates are committed into the npz so the
+    on-chip test fits byte-identical arrays."""
+    sim = simulate_multinomial(N=2000, G=500, C=3, seed=21, mean_total=1500)
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2000, 2))
+    return sim, x
+
+
 def datasets():
     sce = load_example_sce()
     sim = simulate_multinomial(N=5000, G=1000, C=4, seed=3, mean_total=2000)
     asim, clone_allele, cov, ref = allele_dataset()
+    rsim, rich_x = rich_dataset()
     return {
-        "example": (sce.counts, sce.copy_number, {}),
-        "synth": (sim.Y, sim.L, {}),
+        "example": (sce.counts, sce.copy_number, {}, {}),
+        "synth": (sim.Y, sim.L, {}, {}),
         "allele": (
             np.asarray(asim.Y), np.asarray(asim.L),
-            dict(clone_allele=clone_allele, cov=cov, ref=ref),
+            dict(clone_allele=clone_allele, cov=cov, ref=ref), {},
+        ),
+        "rich": (
+            np.asarray(rsim.Y), np.asarray(rsim.L),
+            dict(x=rich_x),
+            dict(K=2, mc_samples=3, fix_alpha=True),
         ),
     }
 
 
 def main():
     out = {}
-    for name, (Y, L, extra) in datasets().items():
+    for name, (Y, L, extra, opts) in datasets().items():
         for dtype, tag in (("float64", "64"), ("float32", "32")):
             fit = clonealign(
                 Y, L, max_iter=MAX_ITER, seed=CONFIGS[name]["seed"],
-                dtype=dtype, verbose=False, **extra,
+                dtype=dtype, verbose=False, **extra, **opts,
             )
             out[f"{name}_elbo{tag}"] = float(fit.convergence_info.final_elbo)
             out[f"{name}_clone{tag}"] = np.array(list(fit.clone))
-            if extra:
+            if "clone_allele" in extra:
                 out[f"{name}_snv{tag}"] = np.asarray(fit.clone_probs_from_snv)
+        # The f32 entries above use the shipped defaults (likelihood_impl
+        # "auto" -> z_cheb in the K=1/P=0/S=1 corner since round 4). Pin the
+        # EXACT-normalizer f32 path separately on the example data so the
+        # on-chip profile keeps covering both backends explicitly.
+        if name == "example":
+            fit = clonealign(
+                Y, L, max_iter=MAX_ITER, seed=CONFIGS[name]["seed"],
+                dtype="float32", verbose=False, likelihood_impl="xla",
+            )
+            out["example_elbo32_xla"] = float(fit.convergence_info.final_elbo)
+            out["example_clone32_xla"] = np.array(list(fit.clone))
         if extra:
             # commit the inputs so the TPU profile fits identical arrays
             out[f"{name}_Y"] = np.asarray(Y, np.int16)

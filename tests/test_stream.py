@@ -260,3 +260,73 @@ def test_validation_errors():
         fit_streaming(sim.Y, sim.L, chunk_cells=0, verbose=False)
     with pytest.raises(ValueError, match="y_storage"):
         fit_streaming(sim.Y, sim.L, y_storage="int32", verbose=False)
+
+
+@pytest.mark.slow
+def test_streaming_mesh_composes():
+    """fit_streaming(mesh=...) — streaming composed with device parallelism
+    (VERDICT r3 weak item 6): each chunk tiles over (cells x genes), the
+    resident per-cell state shards over cells, per-gene params over genes.
+    Same key => identical fit to the unsharded streaming run (float64).
+    Chunk 28 over a 4x2 mesh on N=75 gives chunks 28/28/19: the first two
+    shard the cell axis, the ragged tail exercises the per-axis replication
+    fallback (device_put needs even division) — both paths in one fit."""
+    from clonealign_tpu.parallel.sharding import make_mesh
+
+    sim = _sim()
+    mesh = make_mesh(cell_parallelism=4, gene_parallelism=2)
+    plain = fit_streaming(sim.Y, sim.L, chunk_cells=28, y_storage=None, **KW64)
+    sharded = fit_streaming(sim.Y, sim.L, chunk_cells=28, y_storage=None,
+                            mesh=mesh, **KW64)
+    np.testing.assert_allclose(
+        np.asarray(sharded.convergence_info.elbo),
+        np.asarray(plain.convergence_info.elbo), rtol=1e-11,
+    )
+    assert sharded.convergence_info.n_iters == plain.convergence_info.n_iters
+    assert list(sharded.clone) == list(plain.clone)
+    for name in ("mu", "clone_probs", "psi", "W"):
+        np.testing.assert_allclose(
+            sharded.ml_params[name], plain.ml_params[name],
+            rtol=1e-8, atol=1e-12, err_msg=name,
+        )
+    # ... and against the in-core fit (same guarantee as the plain stream)
+    core = clonealign(sim.Y, sim.L, elbo_eval="reuse", **KW64)
+    np.testing.assert_allclose(
+        np.asarray(sharded.convergence_info.elbo),
+        np.asarray(core.convergence_info.elbo), rtol=1e-11,
+    )
+    assert list(sharded.clone) == list(core.clone)
+
+
+@pytest.mark.slow
+def test_streaming_mesh_covariates_allele():
+    """The mesh composition covers the full surface: covariates and the
+    allele extra term shard over cells, int8 storage composes. Chunk 24 on
+    N=60 over a 4x2 mesh: every chunk (24/24/12) shards the cell axis."""
+    from clonealign_tpu.parallel.sharding import make_mesh
+
+    sim = _sim(N=60, G=30, seed=9)
+    N, C = sim.Y.shape[0], sim.L.shape[1]
+    rng = np.random.RandomState(1)
+    x = rng.normal(size=(N, 2))
+    V = 8
+    clone_allele = rng.randint(1, 4, size=(V, C)).astype(float)
+    cov = rng.poisson(5.0, size=(N, V)).astype(float)
+    ref = np.minimum(rng.poisson(2.0, size=(N, V)).astype(float), cov)
+    mesh = make_mesh(cell_parallelism=4, gene_parallelism=2)
+    kw = dict(max_iter=8, rel_tol=1e-8, dtype="float64", seed=4, verbose=False,
+              x=x, clone_allele=clone_allele, cov=cov, ref=ref)
+    plain = fit_streaming(sim.Y, sim.L, chunk_cells=24, y_storage="int8", **kw)
+    sharded = fit_streaming(sim.Y, sim.L, chunk_cells=24, y_storage="int8",
+                            mesh=mesh, **kw)
+    np.testing.assert_allclose(
+        np.asarray(sharded.convergence_info.elbo),
+        np.asarray(plain.convergence_info.elbo), rtol=1e-11,
+    )
+    assert list(sharded.clone) == list(plain.clone)
+    np.testing.assert_allclose(
+        sharded.ml_params["beta"], plain.ml_params["beta"], rtol=1e-8, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        sharded.clone_probs_from_snv, plain.clone_probs_from_snv, rtol=1e-10
+    )
