@@ -527,6 +527,7 @@ def clonealign(
         ctx.config,
         clone_call_probability,
         ctx.clone_probs_from_snv,
+        device_Y=ctx.data.Y,
     )
 
 
@@ -539,6 +540,7 @@ def _package_fit(
     config,
     clone_call_probability,
     clone_probs_from_snv,
+    device_Y=None,
 ) -> ClonealignFit:
     """Fetch ML params and build the fit object
     (reference R/inference-tflow.R:424-480, R/clonealign.R:283-303)."""
@@ -574,7 +576,9 @@ def _package_fit(
         ml_params["clone_probs"], clone_names, clone_call_probability
     )
 
-    correlations = _assign.compute_correlations(Y, L, clones, clone_names)
+    correlations = _assign.compute_correlations(
+        Y, L, clones, clone_names, device_Y=device_Y
+    )
 
     finite = correlations[np.isfinite(correlations)]
     if finite.size and np.quantile(finite, 0.25) < 0:

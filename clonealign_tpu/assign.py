@@ -63,7 +63,45 @@ def compute_ca_fit_mse(fit, Y, L, model_mu: bool = False, random_clones: bool = 
     return float(np.mean((predicted - Y) ** 2))
 
 
-def compute_correlations(Y, L, clones, clone_names):
+def _clone_sums_device(Y_dev, idx_full, C):
+    """Sufficient statistics for :func:`compute_correlations` computed on the
+    accelerator instead of a host pass over N x G: per-(clone, gene) sums S
+    are ONE (C, N) x (N, G) matmul on the MXU (HIGHEST precision), per-gene
+    sum(y) falls out of S, and sum(y^2) is one masked column reduction.
+    Measured on v5e at 100k x 5k the host pass this replaces was 14.3 s of
+    the out-of-box call (benchmarks/results_tpu_r4.jsonl
+    out_of_box_phase_attribution); the device version is milliseconds plus a
+    (C+2) x G fetch. f32 accumulation bounds the relative error of each sum
+    near ~n*2^-24 — far below what a sign/quartile QC diagnostic
+    (reference R/clonealign.R:296-300) can sense; equivalence vs the f64
+    host path is asserted in tests/test_assign.py."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def stats(Y, idx):
+        # float64-resident data (CPU x64 oracle fits) keeps float64 sums —
+        # bit-comparable to the host path; everything else accumulates f32
+        acc = jnp.promote_types(Y.dtype, jnp.float32)
+        keep = (idx >= 0).astype(acc)
+        onehot = jax.nn.one_hot(idx, C, dtype=acc) * keep[:, None]
+        Yf = Y.astype(acc)
+        S = jax.lax.dot_general(
+            onehot, Yf, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (C, G)
+        sum_y2 = jax.lax.dot_general(
+            keep, Yf * Yf, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (G,)
+        return S, sum_y2
+
+    S, sum_y2 = stats(Y_dev, jnp.asarray(idx_full, jnp.int32))
+    S = np.asarray(S, np.float64)
+    return S, S.sum(axis=0), np.asarray(sum_y2, np.float64)
+
+
+def compute_correlations(Y, L, clones, clone_names, device_Y=None):
     """Per-gene Pearson correlation between expression and the copy number of
     each cell's assigned clone (reference R/clonealign.R:318-334 — which
     z-scores expression first; Pearson is affine-invariant, so correlating
@@ -72,7 +110,10 @@ def compute_correlations(Y, L, clones, clone_names):
 
     Because each cell's CN series is just its clone's column of L, all sums
     aggregate by clone: the computation is O(C x G) plus one pass over Y —
-    and Y may be a scipy sparse matrix (no densification)."""
+    and Y may be a scipy sparse matrix (no densification). Pass the
+    device-resident count matrix as ``device_Y`` (the fit drivers do) and
+    that one pass runs on the accelerator (:func:`_clone_sums_device`)
+    instead of the host."""
     L = np.asarray(L, np.float64)
     clones = np.asarray([str(c) for c in clones], dtype=object)
     keep = clones != UNASSIGNED
@@ -81,10 +122,10 @@ def compute_correlations(Y, L, clones, clone_names):
     # are NOT masked/copied here — the chunked accumulation below applies the
     # mask per row block, so no N x G float64 temporary is ever allocated
     # (the ingestion path keeps Y at input dtype, e.g. int16).
-    if sparse:
+    if sparse and device_Y is None:
         Y = Y.tocsr()[keep]
     M = int(keep.sum())
-    G = Y.shape[1]
+    G = Y.shape[1] if device_Y is None else device_Y.shape[1]
     if M < 2:
         return np.full(G, np.nan)
 
@@ -92,7 +133,13 @@ def compute_correlations(Y, L, clones, clone_names):
     C = len(clone_names)
 
     # per-gene sums of y and y^2, and per-(clone, gene) sums of y
-    if sparse:
+    if device_Y is not None:
+        idx_full = np.asarray(
+            [col_idx[c] if k else -1 for c, k in zip(clones, keep)]
+        )
+        m = np.bincount(idx_full[keep], minlength=C).astype(np.float64)
+        S, sum_y, sum_y2 = _clone_sums_device(device_Y, idx_full, C)
+    elif sparse:
         idx = np.asarray([col_idx[c] for c in clones[keep]])
         m = np.bincount(idx, minlength=C).astype(np.float64)  # cells per clone
         Y = Y.astype(np.float64)

@@ -231,14 +231,16 @@ def run_clonealign(
         ctx.config,
         clone_call_probability,
         ctx.clone_probs_from_snv,
+        device_Y=ctx.data.Y,
     )
 
-    # multirun_info (reference R/clonealign.R:67-73). The per-run median
-    # correlations are an O(R * N * G) host-side computation — worthwhile QC
-    # at reference scale, but skipped automatically for very large problems
-    # (pass multirun_correlations=True/False to force).
+    # multirun_info (reference R/clonealign.R:67-73). Per-run median
+    # correlations used to be an O(R * N * G) host-side pass, skipped for
+    # very large problems; the device-side sufficient statistics
+    # (assign._clone_sums_device — one MXU matmul per run) make them cheap
+    # at any scale, so they now default ON, like the reference.
     if multirun_correlations is None:
-        multirun_correlations = ctx.Y.size * R <= 500_000_000
+        multirun_correlations = True
     prevalences = []
     median_correlations = []
     all_gamma = np.asarray(jax.nn.softmax(results.params.gamma_logits, axis=-1))
@@ -249,7 +251,9 @@ def run_clonealign(
         labels, counts = np.unique(np.asarray(clones_r, object), return_counts=True)
         prevalences.append(dict(zip([str(l) for l in labels], counts.tolist())))
         if multirun_correlations:
-            corr_r = _assign.compute_correlations(ctx.Y, ctx.L, clones_r, ctx.clone_names)
+            corr_r = _assign.compute_correlations(
+                ctx.Y, ctx.L, clones_r, ctx.clone_names, device_Y=ctx.data.Y
+            )
             finite = corr_r[np.isfinite(corr_r)]
             median_correlations.append(float(np.median(finite)) if finite.size else np.nan)
         else:

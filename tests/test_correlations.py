@@ -62,3 +62,38 @@ def test_compute_correlations_coo_input():
     dense = compute_correlations(Y, L, clones, ["A", "B", "C"])
     coo = compute_correlations(sp.coo_matrix(Y), L, clones, ["A", "B", "C"])
     np.testing.assert_allclose(coo, dense, rtol=1e-12, equal_nan=True)
+
+
+def test_device_path_matches_host():
+    """The accelerator sufficient-statistics path (assign._clone_sums_device
+    — used by the fit drivers when Y is device-resident; replaces a measured
+    14.3 s host pass at 100k x 5k, benchmarks/results_tpu_r4.jsonl) must
+    reproduce the host pass: bit-comparably at float64 residency, and to QC
+    precision for int8-stored counts."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    Y = rng.poisson(4, (57, 23)).astype(float)
+    L = rng.integers(1, 5, (23, 3)).astype(float)
+    clones = (["A", "B", "C", "unassigned"] * 15)[:57]
+    names = ["A", "B", "C"]
+    host = compute_correlations(Y, L, clones, names)
+    dev64 = compute_correlations(
+        Y, L, clones, names, device_Y=jnp.asarray(Y, jnp.float64)
+    )
+    np.testing.assert_allclose(dev64, host, rtol=1e-12, equal_nan=True)
+    dev8 = compute_correlations(
+        Y, L, clones, names, device_Y=jnp.asarray(Y, jnp.int8)
+    )
+    np.testing.assert_allclose(dev8, host, rtol=1e-5, atol=1e-7, equal_nan=True)
+
+
+def test_device_path_all_unassigned():
+    import jax.numpy as jnp
+
+    Y = np.ones((3, 2))
+    L = np.ones((2, 2))
+    out = compute_correlations(
+        Y, L, ["unassigned"] * 3, ["A", "B"], device_Y=jnp.asarray(Y)
+    )
+    assert np.isnan(out).all()
