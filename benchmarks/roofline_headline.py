@@ -75,14 +75,16 @@ def main():
     jax.block_until_ready((data.Y, Yf32))
     config = mm.ModelConfig(K=1, P=0, mc_samples=1, likelihood_impl="z_cheb")
 
-    def init_lanes(k):
+    @jax.jit
+    def init_lanes(dat, k):
         def one(kk):
-            return mm.init_params(data.Y, data.L, kk, K=1, P=0,
+            return mm.init_params(dat.Y, dat.L, kk, K=1, P=0,
                                   data_init_mu=True, dtype=jnp.float32)
         return jax.vmap(one)(jax.random.split(k, LANES))
 
-    params0 = jax.jit(init_lanes)(k_fit)
+    params0 = init_lanes(data, k_fit)
     jax.block_until_ready(params0)
+    print("init done", file=sys.stderr)
     rows = {}
 
     # --- one full pass over Y: matvec with a carried vector (cannot be
@@ -100,6 +102,7 @@ def main():
 
     u0 = jnp.ones((G,), jnp.float32) / G
     rows["y_read_int8_default_ms"] = timed(y_read, data.Y, u0, prec="default")
+    print("y_read int8 default done", file=sys.stderr)
     rows["y_read_f32_default_ms"] = timed(y_read, Yf32, u0, prec="default")
     rows["y_read_int8_highest_ms"] = timed(y_read, data.Y, u0, prec="highest")
     rows["y_read_f32_highest_ms"] = timed(y_read, Yf32, u0, prec="highest")
@@ -134,35 +137,70 @@ def main():
     for prec, tag in (("highest", "pinned_highest"), ("default", "default")):
         rows[f"A_fwd_{tag}_ms"] = timed(a1_fwd, psi, W, data.Y, prec=prec)
         rows[f"A_fwdbwd_{tag}_ms"] = timed(a1_fwdbwd, psi, W, data.Y, prec=prec)
+        print(f"A group {tag} done", file=sys.stderr)
+
+    # --- the backward's Y^T psi contraction in isolation, against (a) the
+    # row-major Y (what the loop does today: contracts Y's MAJOR axis) and
+    # (b) a pre-transposed (G, N) copy (sequential reads; costs one extra
+    # Y-sized HBM buffer if adopted) ---
+    @functools.partial(jax.jit, static_argnames=("prec",))
+    def yT_contract(Ym, psi0, prec):
+        # psi0: (LANES, N, 1) -> out (G, LANES)
+        def body(p, _):
+            out = jax.lax.dot_general(
+                Ym.astype(jnp.float32), p[:, :, 0].T,
+                (((0,), (0,)), ((), ())), precision=prec,
+            )  # contracts Y's leading (cells) axis -> (G, LANES)
+            return p + 1e-12 * jnp.sum(out), None
+        return jax.lax.scan(body, psi0, None, length=STEPS)[0]
+
+    @functools.partial(jax.jit, static_argnames=("prec",))
+    def yT_contract_pretransposed(YTm, psi0, prec):
+        def body(p, _):
+            out = jax.lax.dot_general(
+                YTm.astype(jnp.float32), p[:, :, 0].T,
+                (((1,), (0,)), ((), ())), precision=prec,
+            )  # YT (G, N) contracts its MINOR axis -> (G, LANES)
+            return p + 1e-12 * jnp.sum(out), None
+        return jax.lax.scan(body, psi0, None, length=STEPS)[0]
+
+    YT = jax.jit(jnp.transpose)(data.Y)  # materialized (G, N), on-device
+    jax.block_until_ready(YT)
+    rows["yT_rowmajor_ms"] = timed(yT_contract, data.Y, psi, prec="highest")
+    rows["yT_pretransposed_ms"] = timed(
+        yT_contract_pretransposed, YT, psi, prec="highest")
+    del YT
+    print("yT comparison done", file=sys.stderr)
 
     # --- forward ELBO and the full production step, 10 lanes ---
-    def lane_elbo(p, k):
-        return mm.elbo(p, data, k, config, None)
+    def lane_elbo(p, dat, k):
+        return mm.elbo(p, dat, k, config, None)
 
     @jax.jit
-    def elbo_fwd(params, k0):
+    def elbo_fwd(params, dat, k0):
         def body(c, i):
             params, acc = c
             ks = jax.random.split(jax.random.fold_in(k0, i), LANES)
-            e = jax.vmap(lane_elbo)(params, ks)
+            e = jax.vmap(lambda p, k: lane_elbo(p, dat, k))(params, ks)
             return (jax.tree.map(lambda x: x + 1e-12 * jnp.sum(e), params),
                     acc + jnp.sum(e)), None
         return jax.lax.scan(body, (params, 0.0), jnp.arange(STEPS))[0][1]
 
-    rows["elbo_fwd_10lanes_ms"] = timed(elbo_fwd, params0, k_fit)
+    rows["elbo_fwd_10lanes_ms"] = timed(elbo_fwd, params0, data, k_fit)
+    print("elbo_fwd done", file=sys.stderr)
 
     opt = tf1_adam(0.1)
     opt_state0 = jax.jit(lambda p: jax.vmap(opt.init)(p))(params0)
     jax.block_until_ready(opt_state0)
 
     @jax.jit
-    def full_step(params, opt_state, k0):
+    def full_step(params, opt_state, dat, k0):
         def body(c, i):
             params, opt_state = c
             ks = jax.random.split(jax.random.fold_in(k0, i), LANES)
 
             def one(p, st, k):
-                neg, g = jax.value_and_grad(lambda q: -lane_elbo(q, k))(p)
+                neg, g = jax.value_and_grad(lambda q: -lane_elbo(q, dat, k))(p)
                 upd, st = opt.update(g, st)
                 import optax
                 return optax.apply_updates(p, upd), st
@@ -171,7 +209,8 @@ def main():
             return (params, opt_state), None
         return jax.lax.scan(body, (params, opt_state), jnp.arange(STEPS))[0][0]
 
-    rows["full_step_10lanes_ms"] = timed(full_step, params0, opt_state0, k_fit)
+    rows["full_step_10lanes_ms"] = timed(full_step, params0, opt_state0, data, k_fit)
+    print("full_step done", file=sys.stderr)
 
     @jax.jit
     def adam_only(params, opt_state):

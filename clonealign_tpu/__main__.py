@@ -101,11 +101,11 @@ def _load_fit(path: str):
     return ClonealignFit.load(path)
 
 
-def _save_fit(fit, path: str) -> None:
+def _save_fit(fit, path: str) -> str:
     if path.endswith(".rds"):
         fit.save_rds(path)
-    else:
-        fit.save(path)
+        return path
+    return fit.save(path)
 
 
 def cmd_fit(args) -> int:
@@ -163,11 +163,11 @@ def cmd_fit(args) -> int:
             likelihood_impl=("cheb" if args.likelihood_impl == "cheb"
                              else "exact"),
         )
-        fit.save(args.out)
+        written = fit.save(args.out)
         if not args.quiet:
             print(fit)
             print("clone counts:", dict(collections.Counter(fit.clone)))
-            print(f"saved -> {args.out}")
+            print(f"saved -> {written}")
         return 0
 
     if args.likelihood_impl == "cheb":
@@ -196,14 +196,14 @@ def cmd_fit(args) -> int:
         from .stream import fit_streaming
 
         fit = fit_streaming(Y, cnv_input, chunk_cells=args.chunk_cells, **common)
-        _save_fit(fit, args.out)
+        written = _save_fit(fit, args.out)
         if not args.quiet:
             import collections
 
             print(fit)
             print("clone counts:", dict(collections.Counter(fit.clone)))
             print(f"final ELBO: {fit.convergence_info.final_elbo:.4f}")
-            print(f"saved -> {args.out}")
+            print(f"saved -> {written}")
         return 0
     if args.restarts > 1:
         fit = run_clonealign(
@@ -213,14 +213,14 @@ def cmd_fit(args) -> int:
     else:
         fit = clonealign(Y, cnv_input, **common)
 
-    _save_fit(fit, args.out)
+    written = _save_fit(fit, args.out)
     if not args.quiet:
         import collections
 
         print(fit)
         print("clone counts:", dict(collections.Counter(fit.clone)))
         print(f"final ELBO: {fit.convergence_info.final_elbo:.4f}")
-        print(f"saved -> {args.out}")
+        print(f"saved -> {written}")
     return 0
 
 
@@ -255,9 +255,10 @@ def cmd_assign(args) -> int:
         clone_names=np.asarray(fit.clone_names, dtype=str),
         cell_names=np.asarray(cell_names if cell_names else [], dtype=str),
     )
+    written = args.out if args.out.endswith(".npz") else f"{args.out}.npz"
     if not args.quiet:
         print("clone counts:", dict(collections.Counter(clones)))
-        print(f"saved -> {args.out}")
+        print(f"saved -> {written}")
     return 0
 
 
@@ -337,10 +338,11 @@ def main(argv=None) -> int:
     )
     p_fit.add_argument(
         "--likelihood-impl", default="auto",
-        choices=["auto", "xla", "fused", "z_cheb", "cheb"],
+        choices=["auto", "xla", "z_cheb", "cheb"],
         help="ELBO backend: 'auto' (default; resolves to 'z_cheb' in the "
-        "benchmarked K=1/no-covariate/float32 corner, else exact 'xla' — "
-        "the reported final ELBO is always re-evaluated exactly), 'xla' "
+        "benchmarked K=1/no-covariate/float32 corner for problems past "
+        "~1M elements, else exact 'xla' — the reported final ELBO is "
+        "always re-evaluated exactly), 'xla' "
         "(force exact), or 'z_cheb' — the Chebyshev log-normalizer "
         "throughput backend (docs/performance.md; K=1, no covariates). "
         "With --model negbin-v1: 'cheb' — the Chebyshev "

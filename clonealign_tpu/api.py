@@ -263,9 +263,20 @@ def setup_fit(
         clone_allele, cov, ref, N, C, jdtype, verbose
     )
 
-    if likelihood_impl not in ("auto", "xla", "fused", "z_cheb"):
+    if likelihood_impl == "fused":
+        # Retired as a fit option (round 4): the Pallas kernel measured
+        # slower than the XLA decomposed path in EVERY probed regime
+        # (docs/design.md section 2b; benchmarks/results_tpu_r3.jsonl
+        # pallas_vs_xla_regimes). The kernel itself survives as a tested
+        # scaffold — import clonealign_tpu.ops.fused_likelihood directly.
         raise ValueError(
-            "likelihood_impl must be one of 'auto', 'xla', 'fused', "
+            "likelihood_impl='fused' was retired: the Pallas kernel lost to "
+            "the XLA path in every measured regime (docs/design.md §2b). "
+            "Use 'auto' (default), 'xla', or 'z_cheb'."
+        )
+    if likelihood_impl not in ("auto", "xla", "z_cheb"):
+        raise ValueError(
+            "likelihood_impl must be one of 'auto', 'xla', "
             f"'z_cheb'; got {likelihood_impl!r}"
         )
     if likelihood_impl == "auto":
@@ -280,7 +291,19 @@ def setup_fit(
         # for f32 noise floors). The *reported* ELBO stays exact either way:
         # run_inference re-evaluates the final 20-sample ELBO through the
         # exact normalizer whenever training used z_cheb.
-        if K == 1 and P == 0 and int(mc_samples) == 1 and jdtype == jnp.float32:
+        #
+        # Size gate (round 4, measured on-chip): z_cheb exists for
+        # throughput, and its per-step saving is unmeasurable below ~1M
+        # retained N x G elements — while on TINY marginal problems the
+        # DEFAULT-precision trajectory can settle ~1e-4 relative from the
+        # f64 oracle (200x100 example: 1.17e-4; 1000x400 allele toy also
+        # missed; 5000x1000 and the 100k x 5k headline pass the bar —
+        # benchmarks/results_tpu_r4.jsonl tpu_profile row). Below the gate
+        # the exact normalizer costs nothing and keeps toy fits
+        # hardware-exact.
+        big_enough = Y.shape[0] * Y.shape[1] >= 1_000_000
+        if (K == 1 and P == 0 and int(mc_samples) == 1
+                and jdtype == jnp.float32 and big_enough):
             likelihood_impl = "z_cheb"
         else:
             likelihood_impl = "xla"

@@ -53,8 +53,12 @@ class ClonealignFit:
     # --- persistence (the reference's saveRDS analog; SURVEY.md §5
     # "Checkpoint / resume") ---
 
-    def save(self, path: str) -> None:
-        """Serialize to a single .npz archive."""
+    def save(self, path: str) -> str:
+        """Serialize to a single .npz archive.
+
+        Returns the path actually written: np.savez appends ``.npz`` when
+        the name lacks it, so callers reporting the destination must use
+        the return value, not their argument."""
         arrays = {
             "clone": np.asarray(self.clone, dtype=object).astype(str),
             "clone_names": np.asarray(self.clone_names, dtype=str),
@@ -87,6 +91,7 @@ class ClonealignFit:
             )
             arrays["mr__best_run"] = np.asarray(self.multirun_info["best_run"])
         np.savez_compressed(path, **arrays)
+        return path if str(path).endswith(".npz") else f"{path}.npz"
 
     def save_rds(self, path: str, compress: str = "gzip") -> None:
         """Write the fit as an ``.rds`` file readable by R's ``readRDS()``.

@@ -134,14 +134,18 @@ class ModelConfig(NamedTuple):
     P: int = 0
     mc_samples: int = 1
     fix_alpha: bool = False
-    # Likelihood backend: "xla" -> the exact XLA decomposed path; "fused" ->
-    # the Pallas kernel; "z_cheb" -> the XLA path with the log-normalizer
-    # evaluated through a per-(sample, clone) Chebyshev expansion in psi
-    # (K=1, P=0 only — see _compute_logZ_cheb). At THIS layer "auto" is a
-    # synonym for "xla"; the public API (api.setup_fit) resolves "auto" to
-    # z_cheb in the benchmarked K=1/P=0/S=1/float32 corner before the config
-    # reaches the model, so out-of-box fits run the fast normalizer while
-    # hand-built ModelConfigs keep exact semantics.
+    # Likelihood backend: "xla" -> the exact XLA decomposed path; "z_cheb"
+    # -> the XLA path with the log-normalizer evaluated through a
+    # per-(sample, clone) Chebyshev expansion in psi (K=1, P=0 only — see
+    # _compute_logZ_cheb). At THIS layer "auto" is a synonym for "xla"; the
+    # public API (api.setup_fit) resolves "auto" to z_cheb in the
+    # benchmarked K=1/P=0/S=1/float32 corner before the config reaches the
+    # model (only past a ~1M-element size gate — see api.py), so out-of-box
+    # fits run the fast normalizer while hand-built ModelConfigs keep exact
+    # semantics. ("fused" — the Pallas kernel — was
+    # retired in round 4 after losing to XLA in every measured regime; the
+    # kernel remains as a benchmark scaffold in ops/fused_likelihood.py,
+    # docs/design.md §2b.)
     likelihood_impl: str = "auto"
     # Chebyshev degree for likelihood_impl="z_cheb". Measured on-chip
     # (round 3): D=16 is 22% faster per step than D=32 at 100k x 5k x 10
@@ -153,20 +157,23 @@ class ModelConfig(NamedTuple):
     z_degree: int = 16
 
 
-def _use_fused(config: "ModelConfig", dtype) -> bool:
+def _check_impl(config: "ModelConfig") -> None:
+    # "fused" (the Pallas kernel) was retired as a model backend in round 4.
+    # Measured at 100k x 5k x 10 on v5e (round 2, honest fetch-synced
+    # timing): 15.8 ms per forward vs 4.0 ms for the identical computation
+    # in XLA, because Mosaic pays for transposed in-kernel dots (y^T @ psi
+    # and rfe^T @ dZ run at 4.8-16 ms) that XLA gets free via layout
+    # assignment; the round-3 pallas_vs_xla_regimes probe found no regime
+    # where it wins. With the constant-cotangent ELBO decomposition (see
+    # elbo()) the XLA training step is at its structural floor (two Y
+    # passes). Full analysis: docs/design.md section 2b. The kernel survives
+    # as a directly-importable, tested scaffold (ops/fused_likelihood.py).
     if config.likelihood_impl == "fused":
-        return True
-    # "auto" resolves to the XLA path. Measured at 100k x 5k x 10 on v5e
-    # (round 2, honest fetch-synced timing): the Pallas kernel is 15.8 ms
-    # per forward vs 4.0 ms for the identical computation in XLA, because
-    # Mosaic pays for transposed in-kernel dots (y^T @ psi and rfe^T @ dZ
-    # run at 4.8-16 ms) that XLA gets free via layout assignment, and the
-    # 16 MB scoped-VMEM cap keeps tiles in the regime where int8 widening
-    # dominates. With the constant-cotangent ELBO decomposition (see elbo())
-    # the XLA training step is at its structural floor (two Y passes,
-    # 2.65 ms in-loop). Full analysis: docs/design.md section 2b. The kernel
-    # remains selectable ("fused") as a tested scaffold.
-    return False
+        raise ValueError(
+            "likelihood_impl='fused' was retired (docs/design.md §2b); use "
+            "'auto', 'xla', or 'z_cheb'. The Pallas kernel is still "
+            "importable from clonealign_tpu.ops.fused_likelihood."
+        )
 
 
 @jax.jit
@@ -795,32 +802,21 @@ def log_p_y_on_c(
     dtype = data.Y.dtype
     config = config or ModelConfig(K=K, P=P, mc_samples=S)
 
-    if (K > 0 or P > 0) and _use_fused(config, dtype):
-        # Pallas fused path: one pass over Y, rfe computed on the fly
-        # (ops/fused_likelihood.py).
-        from ..ops.fused_likelihood import fused_likelihood_terms
+    _check_impl(config)
+    # A1[n] = sum_g y_ng * log rfe[n,g]; log rfe = psi W^T (+ X beta^T).
+    # (Merging the A1/A2 dots into one Y @ [W|log_mu] matmul was measured
+    # SLOWER for bf16-stored Y — 5.35 vs 4.20 ms/step at 100k x 5k x 10 —
+    # XLA's fusion of the separate thin dots beats the concatenated one.)
+    with _a_precision():
+        if K > 0:
+            A1 = jnp.sum(params.psi * (data.Y @ params.W), axis=1)  # (N,)
+        else:
+            A1 = jnp.zeros(N, dtype)
+        if P > 0:
+            A1 = A1 + jnp.sum(data.X * (data.Y @ params.beta), axis=1)
 
-        psi_ext = params.psi if P == 0 else jnp.concatenate([params.psi, data.X], axis=1)
-        W_ext = params.W if P == 0 else jnp.concatenate([params.W, params.beta], axis=1)
-        muL = (mu_samples[:, None, :] * data.L.T[None, :, :]).transpose(2, 0, 1)
-        muL = muL.reshape(data.L.shape[0], S * C)
-        A1, A2, Z_flat = fused_likelihood_terms(data.Y, psi_ext, W_ext, log_mu, muL)
-        logZ = jnp.log(Z_flat.reshape(N, S, C).transpose(1, 2, 0))  # (S, C, N)
-    else:
-        # A1[n] = sum_g y_ng * log rfe[n,g]; log rfe = psi W^T (+ X beta^T).
-        # (Merging the A1/A2 dots into one Y @ [W|log_mu] matmul was measured
-        # SLOWER for bf16-stored Y — 5.35 vs 4.20 ms/step at 100k x 5k x 10 —
-        # XLA's fusion of the separate thin dots beats the concatenated one.)
-        with _a_precision():
-            if K > 0:
-                A1 = jnp.sum(params.psi * (data.Y @ params.W), axis=1)  # (N,)
-            else:
-                A1 = jnp.zeros(N, dtype)
-            if P > 0:
-                A1 = A1 + jnp.sum(data.X * (data.Y @ params.beta), axis=1)
-
-            A2 = data.Y @ log_mu.T  # (N, S)
-        logZ = _compute_logZ(params, data, mu_samples, config)
+        A2 = data.Y @ log_mu.T  # (N, S)
+    logZ = _compute_logZ(params, data, mu_samples, config)
 
     ll = (
         data.log_binom[None, None, :]
@@ -876,36 +872,22 @@ def elbo(
     P = config.P
     dtype = params.qmu_loc.dtype
 
-    if (K > 0 or P > 0) and _use_fused(config, data.Y.dtype):
-        # The Pallas kernel returns per-cell A1/A2 plus Z in one Y pass; the
-        # decomposition then just sums them.
-        N = data.Y.shape[0]
-        C = data.L.shape[1]
-        from ..ops.fused_likelihood import fused_likelihood_terms
-
-        psi_ext = params.psi if P == 0 else jnp.concatenate([params.psi, data.X], axis=1)
-        W_ext = params.W if P == 0 else jnp.concatenate([params.W, params.beta], axis=1)
-        muL = (mu_samples[:, None, :] * data.L.T[None, :, :]).transpose(2, 0, 1)
-        muL = muL.reshape(data.L.shape[0], S * C)
-        A1, A2, Z_flat = fused_likelihood_terms(data.Y, psi_ext, W_ext, log_mu, muL)
-        logZ = jnp.log(Z_flat.reshape(N, S, C).transpose(1, 2, 0))  # (S, C, N)
-        const_sum = jnp.sum(data.log_binom) + jnp.sum(A1) + jnp.sum(A2) / S
-    else:
-        with _a_precision():
-            A1_sum = jnp.zeros((), dtype)
-            if K > 0:
-                A1_sum = jnp.sum(params.psi * (data.Y @ params.W))
-            if P > 0:
-                A1_sum = A1_sum + jnp.sum(data.X * (data.Y @ params.beta))
-            if data.colsum_Y is not None:
-                colsum = data.colsum_Y
-            else:  # hand-built ModelData: fall back to an on-the-fly pass
-                colsum = jnp.sum(data.Y.astype(dtype), axis=0)
-            A2_sum = (
-                jnp.vdot(jax.lax.stop_gradient(colsum), jnp.sum(log_mu, axis=0)) / S
-            )
-        const_sum = jnp.sum(data.log_binom) + A1_sum + A2_sum
-        logZ = _compute_logZ(params, data, mu_samples, config)  # (S, C, N)
+    _check_impl(config)
+    with _a_precision():
+        A1_sum = jnp.zeros((), dtype)
+        if K > 0:
+            A1_sum = jnp.sum(params.psi * (data.Y @ params.W))
+        if P > 0:
+            A1_sum = A1_sum + jnp.sum(data.X * (data.Y @ params.beta))
+        if data.colsum_Y is not None:
+            colsum = data.colsum_Y
+        else:  # hand-built ModelData: fall back to an on-the-fly pass
+            colsum = jnp.sum(data.Y.astype(dtype), axis=0)
+        A2_sum = (
+            jnp.vdot(jax.lax.stop_gradient(colsum), jnp.sum(log_mu, axis=0)) / S
+        )
+    const_sum = jnp.sum(data.log_binom) + A1_sum + A2_sum
+    logZ = _compute_logZ(params, data, mu_samples, config)  # (S, C, N)
 
     clone_ll = data.YlogL.T[None, :, :] - data.s[None, None, :] * logZ
     if extra_log_lik is not None:
@@ -1035,11 +1017,7 @@ def elbo_cell_terms(
     prior, and (negated) the gamma entropy. Excludes everything in
     :func:`elbo_global_terms`.
     """
-    if _use_fused(config, data.Y.dtype):
-        raise ValueError(
-            "elbo_cell_terms does not support likelihood_impl='fused'; "
-            "use 'auto', 'xla', or 'z_cheb'"
-        )
+    _check_impl(config)
     mu_samples = softplus(mu_base)
     dtype = params.qmu_loc.dtype
 

@@ -1138,9 +1138,10 @@ class ClonealignV1Fit:
             f"final ELBO {self.final_elbo:.4f}"
         )
 
-    def save(self, path) -> None:
+    def save(self, path) -> str:
         """Persist to .npz (the v1 analog of ClonealignFit.save; the
-        ``model`` tag lets loaders and the CLI dispatch on family)."""
+        ``model`` tag lets loaders and the CLI dispatch on family).
+        Returns the path actually written (np.savez appends ``.npz``)."""
         np.savez_compressed(
             path,
             model="negbin_v1",
@@ -1153,6 +1154,7 @@ class ClonealignV1Fit:
             clone_names=np.asarray(self.clone_names, dtype=object),
             s_mean=self.s_mean,
         )
+        return path if str(path).endswith(".npz") else f"{path}.npz"
 
     @classmethod
     def load(cls, path) -> "ClonealignV1Fit":

@@ -12,11 +12,15 @@ MXU otherwise), exponentiates in registers, and accumulates all three
 outputs. No N x G tensor ever exists. A custom VJP (same tiling, one more
 pass over Y) makes the whole training step two Y-passes total.
 
-Status: correct and tested, but NOT the default — XLA's own fusion of the
-decomposed likelihood (models/multinomial.py) already streams Y once per
-pass and measures faster in-loop (4.5/4.8 ms vs 11.7/17.5 ms fwd/grad at
-100k x 5k x 10 on v5e). Kept as the scaffold for regimes XLA fuses poorly;
-select with ``ModelConfig(likelihood_impl="fused")``.
+Status: RETIRED as a fit backend (round 4) — correct and tested, but XLA's
+own fusion of the decomposed likelihood (models/multinomial.py) streams Y
+once per pass and measures faster in EVERY probed regime (4.5/4.8 ms vs
+11.7/17.5 ms fwd/grad at 100k x 5k x 10 on v5e; the round-3
+pallas_vs_xla_regimes sweep found no crossover in S*C, int8 storage, or
+tile shape — docs/design.md §2b). ``likelihood_impl="fused"`` now raises;
+this module survives as a measured benchmark artifact and Pallas scaffold,
+exercised directly by tests/test_fused_likelihood.py (interpret mode) and
+tests/test_tpu_hardware.py::test_pallas_kernel_mosaic_compiled (Mosaic).
 
 Covariates fold in by concatenation: log_rfe = [psi, X] @ [W, beta]^T, so
 callers pass psi_ext = concat(psi, X) and W_ext = concat(W, beta).

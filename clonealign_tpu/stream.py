@@ -331,7 +331,7 @@ def fit_streaming(
         raise ValueError(f"elbo_eval must be 'fresh' or 'reuse', got {elbo_eval!r}")
     if likelihood_impl == "fused":
         raise ValueError(
-            "fit_streaming does not support likelihood_impl='fused'; "
+            "likelihood_impl='fused' was retired (docs/design.md §2b); "
             "use 'auto', 'xla', or 'z_cheb'"
         )
     if likelihood_impl not in ("auto", "xla", "z_cheb"):

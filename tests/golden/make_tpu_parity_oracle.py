@@ -104,10 +104,13 @@ def main():
             out[f"{name}_clone{tag}"] = np.array(list(fit.clone))
             if "clone_allele" in extra:
                 out[f"{name}_snv{tag}"] = np.asarray(fit.clone_probs_from_snv)
-        # The f32 entries above use the shipped defaults (likelihood_impl
-        # "auto" -> z_cheb in the K=1/P=0/S=1 corner since round 4). Pin the
-        # EXACT-normalizer f32 path separately on the example data so the
-        # on-chip profile keeps covering both backends explicitly.
+        # The f32 entries above use the shipped defaults: likelihood_impl
+        # "auto" -> z_cheb in the K=1/P=0/S=1 corner ONLY past the ~1M-
+        # element size gate (api.setup_fit; round 4). Under the gate,
+        # "synth" (5M elements) trains z_cheb; "example" (20k), "allele"
+        # (400k) and "rich" (K=2) train exact. Pin the EXACT-normalizer f32
+        # path separately on the example data so the on-chip profile keeps
+        # covering both backends explicitly.
         if name == "example":
             fit = clonealign(
                 Y, L, max_iter=MAX_ITER, seed=CONFIGS[name]["seed"],

@@ -160,3 +160,32 @@ def test_remat_auto_resolution_and_equivalence(setup):
             fits[remat].convergence_info.final_elbo, ref, rtol=1e-12
         )
         assert fits[remat].clone == fits["auto"].clone
+
+
+def test_auto_impl_size_gate():
+    """"auto" resolves to z_cheb only past the ~1M-element gate: measured
+    on-chip (round 4), z_cheb-TRAINED toy fits settle ~1e-4 relative from
+    the f64 oracle (200x100 example: 1.17e-4; 1000x400 allele toy) while
+    every gated-in scale passes the parity bar — and below the gate the
+    exact normalizer's cost is unmeasurable anyway (api.setup_fit)."""
+    from clonealign_tpu.api import setup_fit
+
+    rng = np.random.default_rng(0)
+    Ysmall = rng.poisson(3.0, (100, 200)).astype(np.float64)   # 20k elements
+    Ybig = rng.poisson(3.0, (1000, 1000)).astype(np.float64)   # 1M elements
+    Lsmall = rng.integers(1, 4, (200, 3)).astype(np.float64)
+    Lbig = rng.integers(1, 4, (1000, 3)).astype(np.float64)
+
+    assert setup_fit(Ysmall, Lsmall, verbose=False).config.likelihood_impl == "xla"
+    assert setup_fit(Ybig, Lbig, verbose=False).config.likelihood_impl == "z_cheb"
+    # float64 fits stay exact-path at every size (the oracle configuration)
+    assert (
+        setup_fit(Ybig, Lbig, verbose=False, dtype="float64").config.likelihood_impl
+        == "xla"
+    )
+    # explicit requests are never second-guessed by the gate
+    assert (
+        setup_fit(Ysmall, Lsmall, verbose=False, likelihood_impl="z_cheb")
+        .config.likelihood_impl
+        == "z_cheb"
+    )
