@@ -70,18 +70,27 @@ def main():
                dtype=jnp.float32, y_storage=jnp.int8)
     del data
 
-    # the link floor: bare uploads of the same logical matrix
-    y8 = Y.astype(np.int8)
-    y32 = Y.astype(np.float32)
-    for arr, label in ((y8, "put_int8_s"), (y32, "put_f32_s")):
-        t0 = time.perf_counter()
-        d = jax.device_put(arr)
-        d.block_until_ready()
-        rows[label] = round(time.perf_counter() - t0, 3)
-        del d
+    # the link floor: a bare upload of the same logical bytes, measured in
+    # the SAME run so each committed row carries its own link context —
+    # the axon tunnel's bandwidth swings >5x between runs (measured 2.9 s
+    # to 20 s for the identical 0.5 GB int8 put), so cross-run wall-clock
+    # comparisons of transfer-bound phases are meaningless without it.
+    # The f32 put alone costs ~200 s through the tunnel; opt in via
+    # SETUP_PUT_F32=1.
+    if os.environ.get("SETUP_SKIP_PUT") != "1":
+        puts = [(Y.astype(np.int8), "put_int8_s")]
+        if os.environ.get("SETUP_PUT_F32") == "1":
+            puts.append((Y.astype(np.float32), "put_f32_s"))
+        for arr, label in puts:
+            t0 = time.perf_counter()
+            d = jax.device_put(arr)
+            d.block_until_ready()
+            rows[label] = round(time.perf_counter() - t0, 3)
+            del d
     rows["Y_GB"] = {"int8": round(N * G / 1e9, 2), "f32": round(4 * N * G / 1e9, 2)}
 
     out = {"probe": "setup_phases", "hw": "v5e single chip (axon tunnel)",
+           "variant": os.environ.get("SETUP_VARIANT", ""),
            "config": {"N": N, "G": G, "C": C, "host_dtype": "int16"},
            "rows": rows}
     print(json.dumps(out))

@@ -35,6 +35,7 @@ tests/test_elbo_parity.py.
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 from typing import NamedTuple, Optional
@@ -190,6 +191,27 @@ def _prepare_data_core(Y, L):
         return s, log_binom, B, jnp.sum(Y, axis=0)
 
 
+@jax.jit
+def _prepare_data_core_table(Yi, L, table):
+    """Integer-count twin of :func:`_prepare_data_core`: ``Yi`` arrives in
+    its (<=16-bit) integer wire dtype and the elementwise lgamma becomes a
+    gather from the log-factorial table — bit-identical values, a fraction
+    of the XLA:TPU compile cost (see _log_factorial_table). Also returns
+    the exact max count for the integer-storage range check."""
+    dtype = L.dtype
+    Y = Yi.astype(dtype)
+    with jax.default_matmul_precision("highest"):
+        s = jnp.sum(Y, axis=1)
+        lgam = jnp.take(table, Yi.astype(jnp.int32), axis=0)
+        log_binom = jax.lax.lgamma(s + 1.0) - jnp.sum(lgam, axis=1)
+        log_L_safe = jnp.where(L > 0, jnp.log(jnp.where(L > 0, L, 1.0)), 0.0)
+        B = Y @ log_L_safe
+        hits_zero = (Y @ (L <= 0).astype(dtype)) > 0
+        B = jnp.where(hits_zero, -jnp.inf, B)
+        mx = jnp.max(Y) if Y.size else jnp.zeros((), dtype)
+        return s, log_binom, B, jnp.sum(Y, axis=0), mx
+
+
 def prepare_data(Y, L, x=None, dtype=jnp.float32, y_storage=None) -> ModelData:
     """Build the device-resident data pytree.
 
@@ -219,13 +241,35 @@ def prepare_data(Y, L, x=None, dtype=jnp.float32, y_storage=None) -> ModelData:
         pass
     if int(Y.shape[0]) * int(Y.shape[1]) > _CHUNK_ELEMENTS:
         return _prepare_data_dense_chunked(Y, L, x=x, dtype=dtype, y_storage=y_storage)
-    Y = jnp.asarray(Y, dtype)
+    store_dt = jnp.dtype(dtype if y_storage is None else y_storage)
+    if isinstance(Y, np.ndarray):
+        wire = _wire_np(Y.dtype, dtype, store_dt)
+        if wire is not None and Y.dtype != wire:
+            if jnp.issubdtype(store_dt, jnp.integer):
+                _host_check_lossless(Y, wire, store_dt)
+            Y = np.ascontiguousarray(Y, dtype=wire)
+    Yw = Y if isinstance(Y, jax.Array) else jnp.asarray(Y)
     L = jnp.asarray(L, dtype)
-    s, log_binom, B, colsum = _prepare_data_core(Y, L)
     X = None if x is None else jnp.asarray(x, dtype)
-    if y_storage is not None:
-        _check_integer_storage(Y, y_storage)
-        Y = Y.astype(y_storage)
+    table = _stats_table_for(Yw.dtype, dtype)
+    if table is not None:
+        s, log_binom, B, colsum, mx = _prepare_data_core_table(Yw, L, table)
+        if y_storage is not None and jnp.issubdtype(store_dt, jnp.integer):
+            info = jnp.iinfo(store_dt)
+            if float(mx) > info.max:
+                raise ValueError(
+                    f"y_storage={store_dt.name} cannot hold the largest "
+                    f"count ({float(mx):.0f} > {info.max}); use "
+                    "int16/bfloat16/float32"
+                )
+        Y = Yw if Yw.dtype == store_dt else Yw.astype(store_dt)
+    else:
+        Yf = Yw if Yw.dtype == jnp.dtype(dtype) else Yw.astype(dtype)
+        s, log_binom, B, colsum = _prepare_data_core(Yf, L)
+        if y_storage is not None:
+            _check_integer_storage(Yf, y_storage)
+            Yf = Yf.astype(y_storage)
+        Y = Yf
     return ModelData(
         Y=Y, L=L, X=X, s=s, log_binom=log_binom, YlogL=B, colsum_Y=colsum
     )
@@ -246,20 +290,176 @@ def _row_chunk_size(N: int, G: int) -> int:
     return rows
 
 
-@jax.jit
-def _chunk_stats(yc, log_L_safe, zero_cols):
-    # one-time per fit: full precision, see _prepare_data_core
+def _stats_body(yc, lgam, log_L_safe, zero_cols, fresh=None):
+    """Shared math of the one-time data-statistics programs. ``lgam`` is the
+    elementwise log(y!) matrix — a table gather on the integer paths, or
+    ``lax.lgamma(yc + 1)`` on the float path. ``fresh`` (when given) masks
+    first-visit rows out of the cross-row column sum for a clamped tail
+    block that overlaps rows already processed."""
     with jax.default_matmul_precision("highest"):
         s = jnp.sum(yc, axis=1)
-        lb = jax.lax.lgamma(s + 1.0) - jnp.sum(jax.lax.lgamma(yc + 1.0), axis=1)
+        lb = jax.lax.lgamma(s + 1.0) - jnp.sum(lgam, axis=1)
         B = yc @ log_L_safe
-        hits_zero = (yc @ zero_cols) > 0
-        B = jnp.where(hits_zero, -jnp.inf, B)
-        ymax = jnp.max(yc) if yc.size else jnp.zeros((), yc.dtype)
-        nonint = (
-            jnp.max(jnp.abs(yc - jnp.round(yc))) if yc.size else jnp.zeros((), yc.dtype)
+        B = jnp.where((yc @ zero_cols) > 0, -jnp.inf, B)
+        cs = jnp.sum(yc if fresh is None else jnp.where(fresh, yc, 0), axis=0)
+    return s, lb, B, cs
+
+
+@jax.jit
+def _chunk_stats(yc, log_L_safe, zero_cols):
+    # one-time per fit: full precision, see _prepare_data_core. Float-count
+    # path: keeps the (rows, G) lgamma (slow to COMPILE on XLA:TPU — see
+    # _log_factorial_table — but required when counts may be fractional).
+    if not yc.size:
+        z = jnp.zeros((), yc.dtype)
+        s, lb, B, cs = _stats_body(yc, yc, log_L_safe, zero_cols)
+        return s, lb, B, cs, z, z
+    s, lb, B, cs = _stats_body(
+        yc, jax.lax.lgamma(yc + 1.0), log_L_safe, zero_cols
+    )
+    ymax = jnp.max(yc)
+    nonint = jnp.max(jnp.abs(yc - jnp.round(yc)))
+    return s, lb, B, cs, ymax, nonint
+
+
+@jax.jit
+def _chunk_stats_table(yci, table, log_L_safe, zero_cols):
+    """Integer-count twin of :func:`_chunk_stats`: the elementwise lgamma
+    over the (rows, G) block becomes a gather from ``table`` — bit-identical
+    values (the table IS lax.lgamma evaluated on 0..nmax, see
+    _log_factorial_table) at a fraction of the XLA:TPU compile cost.
+    ``nonint`` is identically zero for integer inputs."""
+    dtype = log_L_safe.dtype
+    yc = yci.astype(dtype)
+    lgam = jnp.take(table, yci.astype(jnp.int32), axis=0)
+    s, lb, B, cs = _stats_body(yc, lgam, log_L_safe, zero_cols)
+    ymax = jnp.max(yc) if yc.size else jnp.zeros((), dtype)
+    return s, lb, B, cs, ymax, jnp.zeros((), dtype)
+
+
+_LGAMMA_TABLES: dict = {}
+
+
+def _log_factorial_table(nmax: int, dtype) -> jax.Array:
+    """log(k!) for k = 0..nmax, evaluated as ``lax.lgamma`` on a 1-D ramp in
+    ``dtype`` — so a gather from it is BIT-IDENTICAL to the elementwise
+    ``lax.lgamma(yc + 1)`` it replaces (same op, same input values: k + 1 is
+    exact in float32 up to 2^24 and nmax is capped at 65535 by
+    _table_wire_dtype), while sidestepping a measured XLA:TPU compiler
+    pathology: lgamma on a (53k, 5k) operand takes 32-42 s to COMPILE on
+    v5e (vs 2.5 s for the identical program without it; every committed
+    golden/oracle value stays valid because the gathered values are the
+    same bits). Probe rows: setup_phases in benchmarks/results_tpu_r4.jsonl."""
+    key = (int(nmax), jnp.dtype(dtype).name)
+    t = _LGAMMA_TABLES.get(key)
+    if t is None:
+        ks = jnp.arange(1, int(nmax) + 2, dtype=dtype)  # k + 1 for k = 0..nmax
+        t = _LGAMMA_TABLES[key] = jax.lax.lgamma(ks)
+    return t
+
+
+def _wire_np(y_np, dtype, store_dt):
+    """Shipping dtype for a HOST count array: the FEWEST bytes per element
+    that reproduce the exact values the data statistics would otherwise
+    see, or None (ship in the host dtype as-is).
+
+    Integer storage is lossless by contract (host values are validated
+    against the storage bounds BEFORE any downcast, same errors as the
+    device check), so chunks ship as the narrower of the host integer
+    dtype and the storage dtype. Float-ish storage ships at the compute
+    dtype when the host dtype is wider (stats are computed at compute
+    precision either way, so a host-side f64->f32 cast changes nothing);
+    bfloat16 storage downcasts ON DEVICE from compute precision (stats
+    must see pre-rounding values), so its wire is f32, not bf16. Measured
+    at 100k x 5k (int16 host, int8 storage): 2x fewer wire bytes
+    (benchmarks setup_phases probe)."""
+    y_np = np.dtype(y_np)
+    if jnp.issubdtype(store_dt, jnp.integer):
+        if np.issubdtype(y_np, np.integer) and y_np.itemsize <= store_dt.itemsize:
+            return None  # already at or below the wire width
+        return np.dtype(store_dt.name)
+    if y_np.itemsize > jnp.dtype(dtype).itemsize and store_dt != jnp.bfloat16:
+        return np.dtype(jnp.dtype(dtype).name)
+    if y_np.itemsize > 4 and store_dt == jnp.bfloat16:
+        return np.dtype(jnp.dtype(dtype).name)
+    return None
+
+
+def _host_check_lossless(c, wire_np, store_dt):
+    """Same contract and messages as the post-stats device check; runs
+    BEFORE a host downcast so wrapped values can never be uploaded."""
+    info = np.iinfo(wire_np if np.issubdtype(wire_np, np.integer)
+                    else np.dtype(store_dt.name))
+    cmax = float(c.max()) if c.size else 0.0
+    if cmax > info.max:
+        raise ValueError(
+            f"y_storage={store_dt.name} cannot hold the largest "
+            f"count ({cmax:.0f} > {info.max}); use int16/bfloat16/float32"
         )
-        return s, lb, B, jnp.sum(yc, axis=0), ymax, nonint
+    if np.issubdtype(c.dtype, np.floating) and c.size and np.any(c != np.trunc(c)):
+        raise ValueError(
+            "integer y_storage requires integer counts; found fractional values"
+        )
+
+
+def _stats_table_for(shipped_dtype, dtype):
+    """The log-factorial gather table when the as-shipped count dtype is an
+    integer of at most 16 bits (so log(k!) fits a <=65536-entry table and
+    intness is guaranteed by the dtype itself), else None (float path)."""
+    d = np.dtype(jnp.dtype(shipped_dtype).name)
+    if np.issubdtype(d, np.integer) and d.itemsize <= 2:
+        return _log_factorial_table(np.iinfo(d).max, dtype)
+    return None
+
+
+def _block_slice(Yw, i, block):
+    """Clamped row block ``i`` of the device-resident matrix plus its
+    first-visit mask. One fixed block shape -> ONE compiled program reused
+    for every block including the tail (distinct tail shapes used to
+    compile separate executables through the remote compiler; a fori_loop
+    mega-program was also tried and rejected — same 42 s lgamma-dominated
+    compile as the per-shape path, benchmarks setup_phases probe). The
+    tail block is clamped to end at N, so it may overlap rows already
+    processed: row-aligned outputs (s, log_binom, YlogL) recompute
+    identical values (the caller drops them) and cross-row reductions
+    (colsum/max/nonint) mask the overlap out via ``fresh``."""
+    N = Yw.shape[0]
+    start = jnp.minimum(i * block, N - block)
+    yc = jax.lax.dynamic_slice_in_dim(Yw, start, block, 0)
+    fresh = ((start + jnp.arange(block)) >= i * block)[:, None]
+    return yc, fresh
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _block_stats(Yw, log_L_safe, zero_cols, i, block: int):
+    """Float-wire data statistics for row block ``i`` (see _block_slice).
+    All arithmetic matches _chunk_stats: compute dtype from ``log_L_safe``,
+    matmuls at HIGHEST (exact for integer counts, so block order cannot
+    change any result)."""
+    dtype = log_L_safe.dtype
+    yc, fresh = _block_slice(Yw, i, block)
+    yc = yc.astype(dtype)
+    s, lb, B, cs = _stats_body(
+        yc, jax.lax.lgamma(yc + 1.0), log_L_safe, zero_cols, fresh
+    )
+    mx = jnp.max(jnp.where(fresh, yc, -jnp.inf))
+    ni = jnp.max(jnp.where(fresh, jnp.abs(yc - jnp.round(yc)), 0))
+    return s, lb, B, cs, mx, ni
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _block_stats_table(Yw, table, log_L_safe, zero_cols, i, block: int):
+    """Integer-wire twin of :func:`_block_stats`: elementwise lgamma is a
+    gather from the log-factorial table (bit-identical values, ~20x less
+    XLA:TPU compile — see _log_factorial_table); nonint is identically
+    zero for integer inputs."""
+    dtype = log_L_safe.dtype
+    yci, fresh = _block_slice(Yw, i, block)
+    yc = yci.astype(dtype)
+    lgam = jnp.take(table, yci.astype(jnp.int32), axis=0)
+    s, lb, B, cs = _stats_body(yc, lgam, log_L_safe, zero_cols, fresh)
+    mx = jnp.max(jnp.where(fresh, yc, -jnp.inf))
+    return s, lb, B, cs, mx, jnp.zeros((), dtype)
 
 
 def _prepare_data_dense_chunked(Y, L, x=None, dtype=jnp.float32, y_storage=None):
@@ -274,25 +474,73 @@ def _prepare_data_dense_chunked(Y, L, x=None, dtype=jnp.float32, y_storage=None)
     log_L_safe = jnp.where(L > 0, jnp.log(jnp.where(L > 0, L, 1.0)), 0.0)
     zero_cols = (L <= 0).astype(dtype)
     store = dtype if y_storage is None else y_storage
-    reuse_input = isinstance(Y, jax.Array) and Y.dtype == jnp.dtype(store)
+    store_dt = jnp.dtype(store)
+    reuse_input = isinstance(Y, jax.Array) and Y.dtype == store_dt
+    int_store = jnp.issubdtype(store_dt, jnp.integer)
 
+    # Phase 1 — ship the matrix in the narrowest exact wire dtype (see
+    # _wire_np; measured at 100k x 5k, int16 host / int8 storage:
+    # prepare_data 24.8 s with host-dtype uploads vs a 12.6 s bare int8
+    # link floor — benchmarks setup_phases probe). Per-chunk host
+    # validate/downcast + bare device_put, NO compute dispatch.
+    wire_np = (
+        _wire_np(Y.dtype, dtype, store_dt) if isinstance(Y, np.ndarray) else None
+    )
     chunk = _row_chunk_size(N, G)
-    s_parts, lb_parts, B_parts, y_parts = [], [], [], []
+    y_parts = []
+    if not reuse_input and not isinstance(Y, jax.Array):
+        for i in range(0, N, chunk):
+            c = Y[i : i + chunk]
+            if wire_np is not None and c.dtype != wire_np:
+                if int_store:
+                    _host_check_lossless(c, wire_np, store_dt)
+                c = np.ascontiguousarray(c, dtype=wire_np)
+            y_parts.append(jnp.asarray(c))
+        Yw = jnp.concatenate(y_parts, axis=0) if len(y_parts) > 1 else y_parts[0]
+    else:
+        Yw = Y  # already device-resident; stats read it in place
+    del y_parts
+
+    # Phase 2 — stats over the device-resident wire-dtype matrix: one
+    # fixed-shape compiled program, one dispatch per block (see
+    # _block_stats / _block_stats_table — the latter whenever the shipped
+    # dtype is a <=16-bit integer, which sidesteps the measured 30-42 s
+    # XLA:TPU compile of a 2-D lgamma). Scalar reductions accumulate on
+    # device; the single host sync happens once, after the last block.
+    table = _stats_table_for(Yw.dtype, dtype)
+    block = min(chunk, N)
+    nb = -(-N // block)
+    s_parts, lb_parts, B_parts = [], [], []
     colsum = jnp.zeros((G,), dtype)
-    ymax = -np.inf
-    max_nonint = 0.0
-    for i in range(0, N, chunk):
-        yc = jnp.asarray(Y[i : i + chunk]).astype(dtype)
-        s, lb, B, cs, mx, ni = _chunk_stats(yc, log_L_safe, zero_cols)
-        s_parts.append(s)
-        lb_parts.append(lb)
-        B_parts.append(B)
-        colsum = colsum + cs
-        ymax = max(ymax, float(mx))
-        max_nonint = max(max_nonint, float(ni))
-        if not reuse_input:
-            y_parts.append(yc.astype(store))
-        del yc
+    mx = jnp.full((), -jnp.inf, dtype)
+    ni = jnp.zeros((), dtype)
+    for i in range(nb):
+        if table is not None:
+            s_b, lb_b, B_b, cs_b, mx_b, ni_b = _block_stats_table(
+                Yw, table, log_L_safe, zero_cols, i, block
+            )
+        else:
+            s_b, lb_b, B_b, cs_b, mx_b, ni_b = _block_stats(
+                Yw, log_L_safe, zero_cols, i, block
+            )
+        if i == nb - 1 and nb * block > N:
+            tail = N - i * block  # fresh rows of the clamped tail block
+            s_b, lb_b, B_b = (
+                s_b[block - tail :],
+                lb_b[block - tail :],
+                B_b[block - tail :],
+            )
+        s_parts.append(s_b)
+        lb_parts.append(lb_b)
+        B_parts.append(B_b)
+        colsum = colsum + cs_b
+        mx = jnp.maximum(mx, mx_b)
+        ni = jnp.maximum(ni, ni_b)
+    s_all = jnp.concatenate(s_parts) if nb > 1 else s_parts[0]
+    lb_all = jnp.concatenate(lb_parts) if nb > 1 else lb_parts[0]
+    B_all = jnp.concatenate(B_parts, axis=0) if nb > 1 else B_parts[0]
+    ymax = float(mx)
+    max_nonint = float(ni)
 
     if y_storage is not None and jnp.issubdtype(jnp.dtype(y_storage), jnp.integer):
         info = jnp.iinfo(jnp.dtype(y_storage))
@@ -306,16 +554,14 @@ def _prepare_data_dense_chunked(Y, L, x=None, dtype=jnp.float32, y_storage=None)
                 "integer y_storage requires integer counts; found fractional values"
             )
 
-    Yd = Y if reuse_input else (
-        jnp.concatenate(y_parts, axis=0) if len(y_parts) > 1 else y_parts[0]
-    )
+    Yd = Yw if Yw.dtype == store_dt else Yw.astype(store)
     return ModelData(
         Y=Yd,
         L=L,
         X=None if x is None else jnp.asarray(x, dtype),
-        s=jnp.concatenate(s_parts),
-        log_binom=jnp.concatenate(lb_parts),
-        YlogL=jnp.concatenate(B_parts, axis=0),
+        s=s_all,
+        log_binom=lb_all,
+        YlogL=B_all,
         colsum_Y=colsum,
     )
 

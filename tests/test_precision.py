@@ -137,6 +137,109 @@ def test_chunked_prepare_matches_unchunked_exactly():
         mm._CHUNK_ELEMENTS = orig
 
 
+@pytest.mark.parametrize(
+    "host_dt,storage",
+    [
+        (np.int16, jnp.int8),     # host downcast to the storage wire
+        (np.int8, jnp.int16),     # host already narrower: ship as-is
+        (np.int16, None),         # int host, float storage: host-dtype wire
+        (np.float64, None),       # f64 host -> f32 wire (stats at f32 anyway)
+        (np.float64, jnp.int8),   # float host, int storage: validated downcast
+        (np.float32, jnp.int16),
+        (np.float64, jnp.bfloat16),  # bf16 rounds on DEVICE from f32 wire
+    ],
+)
+def test_chunked_wire_dtype_matrix(host_dt, storage):
+    """The narrow-wire upload (round 4: chunks ship in the fewest exact
+    bytes — measured 2x fewer at the headline, benchmarks setup_phases
+    probe) must be bit-invisible: every ModelData field identical to the
+    unchunked path for every (host dtype, y_storage) combination."""
+    import clonealign_tpu.models.multinomial as mm
+
+    rng = np.random.default_rng(7)
+    Y = rng.poisson(4.0, (90, 30)).astype(host_dt)
+    L = rng.integers(1, 5, (30, 3)).astype(np.float64)
+    ref = mm.prepare_data(np.asarray(Y), L, dtype=jnp.float32, y_storage=storage)
+    orig = mm._CHUNK_ELEMENTS
+    mm._CHUNK_ELEMENTS = 600  # force ~20-row chunks
+    try:
+        ch = mm.prepare_data(np.asarray(Y), L, dtype=jnp.float32, y_storage=storage)
+    finally:
+        mm._CHUNK_ELEMENTS = orig
+    assert ch.Y.dtype == ref.Y.dtype
+    for f in ref._fields:
+        a, b = getattr(ref, f), getattr(ch, f)
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f)
+
+
+def test_chunked_wire_fractional_raises_before_upload():
+    """Fractional 'counts' with integer storage must raise the standard
+    message from the HOST pre-check (the downcast would wrap/truncate)."""
+    import clonealign_tpu.models.multinomial as mm
+
+    rng = np.random.default_rng(3)
+    Y = rng.poisson(3.0, (60, 20)).astype(np.float64)
+    Y[5, 7] = 2.5
+    L = rng.integers(1, 4, (20, 2)).astype(np.float64)
+    orig = mm._CHUNK_ELEMENTS
+    mm._CHUNK_ELEMENTS = 400
+    try:
+        with pytest.raises(ValueError, match="fractional"):
+            mm.prepare_data(Y, L, dtype=jnp.float32, y_storage=jnp.int8)
+    finally:
+        mm._CHUNK_ELEMENTS = orig
+
+
+def test_log_factorial_table_bit_identical_to_lgamma():
+    """The table-gather log-binomial (round 4: sidesteps a measured 30-42 s
+    XLA:TPU compile of 2-D lgamma) must be BIT-identical to the lgamma
+    formulation it replaces: the table is lax.lgamma on the same inputs."""
+    import jax
+    import clonealign_tpu.models.multinomial as mm
+
+    for dt in (jnp.float32, jnp.float64):
+        t = mm._log_factorial_table(127, dt)
+        ks = jnp.arange(128, dtype=dt)
+        ref = jax.lax.lgamma(ks + 1.0)
+        np.testing.assert_array_equal(np.asarray(t), np.asarray(ref))
+    # and through prepare_data: identical fields for int-wire vs f32-wire
+    # inputs carrying the same values (table vs lgamma path)
+    rng = np.random.default_rng(11)
+    Y = rng.poisson(4.0, (60, 25))
+    L = rng.integers(1, 5, (25, 3)).astype(np.float64)
+    via_table = mm.prepare_data(Y.astype(np.int16), L, dtype=jnp.float32)
+    via_lgamma = mm.prepare_data(Y.astype(np.float32), L, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(via_table.log_binom), np.asarray(via_lgamma.log_binom),
+        rtol=1e-6,
+    )
+    for f in ("s", "YlogL", "colsum_Y"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(via_table, f)), np.asarray(getattr(via_lgamma, f)),
+            err_msg=f,
+        )
+
+
+def test_unchunked_wire_overflow_raises():
+    """Integer storage overflow must raise the standard message from the
+    HOST pre-check on the unchunked path too (values never wrap)."""
+    import clonealign_tpu.models.multinomial as mm
+
+    rng = np.random.default_rng(5)
+    Y = rng.poisson(3.0, (40, 12)).astype(np.float64)
+    Y[3, 4] = 300.0
+    L = rng.integers(1, 4, (12, 2)).astype(np.float64)
+    with pytest.raises(ValueError, match="cannot hold the largest"):
+        mm.prepare_data(Y, L, dtype=jnp.float32, y_storage=jnp.int8)
+    # and from an int host dtype wider than the storage (validated downcast)
+    with pytest.raises(ValueError, match="cannot hold the largest"):
+        mm.prepare_data(Y.astype(np.int16), L, dtype=jnp.float32,
+                        y_storage=jnp.int8)
+
+
 def test_blocked_init_and_z_match_unblocked():
     """The row-blocked PCA/mu-guess init and the gene-blocked Z contraction
     (large-N memory path) agree with the single-block implementations."""
