@@ -59,6 +59,20 @@ def main():
                    multirun_correlations=False)
     size0 = _sweep_program._cache_size()  # type: ignore[attr-defined]
 
+    # Self-normalize the transfer-bound phases: the axon tunnel's bandwidth
+    # swings >5x between runs (setup_phases probe: 2.9-20 s for the SAME
+    # 0.5 GB int8 put), so each committed row carries its own link floor
+    # measured in the same run — a bare device_put of the wire bytes
+    # setup_fit ships (int8 N x G) and of the gamma fetch the multirun
+    # phase pulls back (lanes x N x C f32).
+    floors = {}
+    y8 = Y.astype(np.int8)
+    t0 = time.perf_counter()
+    d = jax.device_put(y8)
+    d.block_until_ready()
+    floors["put_int8_s"] = round(time.perf_counter() - t0, 3)
+    del d, y8
+
     t = T()
     ctx = setup_fit(Y, L, verbose=False)
     jax.block_until_ready(ctx.data.Y)
@@ -84,8 +98,10 @@ def main():
     t.lap("best-lane gather")
 
     fit = _package_fit(best_result, ctx.Y, ctx.L, ctx.clone_names,
-                       ctx.retained_genes, ctx.config, 0.95, None)
-    t.lap("_package_fit (fetch + host QC correlations)")
+                       ctx.retained_genes, ctx.config, 0.95, None,
+                       device_Y=ctx.data.Y,  # what run_clonealign passes
+                       device_s=ctx.data.s)
+    t.lap("_package_fit (fetch + device QC correlations)")
 
     import clonealign_tpu.assign as _assign
 
@@ -94,11 +110,19 @@ def main():
         _assign.clone_assignment(all_gamma[r], ctx.clone_names, 0.95)
     t.lap("multirun prevalences (9 lanes)")
 
+    dev_gamma = jax.device_put(all_gamma)  # same bytes the phase fetched
+    dev_gamma.block_until_ready()
+    t0 = time.perf_counter()
+    np.asarray(dev_gamma)
+    floors["fetch_gamma_s"] = round(time.perf_counter() - t0, 3)
+    floors["gamma_MB"] = round(all_gamma.nbytes / 1e6, 1)
+
     sweep_misses = _sweep_program._cache_size() - size0  # type: ignore[attr-defined]
     out = {
         "probe": "out_of_box_phase_attribution", "hw": "v5e single chip",
         "config": {"N": N, "G": G, "C": C, "restarts": 9, "max_iter": 200},
         "phases_s": dict(t.rows),
+        "link_floors": floors,
         "sweep_recompiles_after_warm": int(sweep_misses),
         "n_iters": [int(i) for i in results.n_iters],
         "best_elbo": float(fit.convergence_info.final_elbo),

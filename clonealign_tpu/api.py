@@ -551,6 +551,7 @@ def clonealign(
         clone_call_probability,
         ctx.clone_probs_from_snv,
         device_Y=ctx.data.Y,
+        device_s=ctx.data.s,
     )
 
 
@@ -564,17 +565,33 @@ def _package_fit(
     clone_call_probability,
     clone_probs_from_snv,
     device_Y=None,
+    device_s=None,
 ) -> ClonealignFit:
     """Fetch ML params and build the fit object
     (reference R/inference-tflow.R:424-480, R/clonealign.R:283-303)."""
     p = result.params
+    # Size factors must be float64-exact. When the device-resident counts
+    # are integer-typed (validated non-negative integers) and every row
+    # total stays below 2^24, the prepared float32 ``data.s`` is already
+    # bit-exact (partial sums of non-negative integers never exceed the
+    # total, so no rounding can occur in any reduction order) — fetch that
+    # N-vector instead of re-summing the host N x G matrix. Otherwise,
+    # accumulate IN float64 on the host (not just cast after) so float32
+    # inputs keep the float64-exact size factors.
+    s = None
+    if (
+        device_s is not None
+        and device_Y is not None
+        and jnp.issubdtype(device_Y.dtype, jnp.integer)
+        and float(jnp.max(device_s)) < 2.0**24
+    ):
+        s = np.asarray(device_s, np.float64)
+    if s is None:
+        s = np.asarray(Y.sum(axis=1, dtype=np.float64)).ravel()
     ml_params = {
         "mu": np.asarray(jax.nn.softplus(p.qmu_loc)),
         "clone_probs": np.asarray(jax.nn.softmax(p.gamma_logits, axis=1)),
-        # ravel: scipy sparse sums are (N, 1); accumulate IN float64 (not
-        # just cast after) so float32 inputs keep the float64-exact size
-        # factors now that ingestion no longer upcasts
-        "s": np.asarray(Y.sum(axis=1, dtype=np.float64)).ravel(),
+        "s": s,
         "alpha": np.asarray(jax.nn.softmax(p.alpha_unconstr)),
     }
     if config.K > 0:

@@ -232,6 +232,7 @@ def run_clonealign(
         clone_call_probability,
         ctx.clone_probs_from_snv,
         device_Y=ctx.data.Y,
+        device_s=ctx.data.s,
     )
 
     # multirun_info (reference R/clonealign.R:67-73). Per-run median

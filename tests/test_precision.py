@@ -291,6 +291,38 @@ def test_size_factors_accumulate_in_float64():
     np.testing.assert_allclose(fit.ml_params["s"], expect, rtol=1e-12)
 
 
+def test_size_factors_device_shortcut_integer_counts():
+    """For integer-typed device counts with row totals < 2^24, ml_params['s']
+    comes from the prepared float32 device sums (bit-exact: partial sums of
+    non-negative integers never exceed the total) — pin equality against
+    the float64 host accumulation it replaces."""
+    from clonealign_tpu import clonealign
+
+    rng = np.random.default_rng(1)
+    Y = rng.poisson(50.0, (6, 512)).astype(np.int16)
+    L = np.asarray(rng.integers(1, 4, size=(512, 2)), np.float64)
+    fit = clonealign(Y, L, max_iter=2, verbose=False)
+    expect = Y.astype(np.float64).sum(axis=1)
+    np.testing.assert_array_equal(fit.ml_params["s"], expect)
+    assert fit.ml_params["s"].dtype == np.float64
+
+
+def test_size_factors_guard_past_f32_exact_range():
+    """Row totals past 2^24 must fall back to the float64 host accumulation
+    (the float32 device sums round there) and stay exact."""
+    from clonealign_tpu import clonealign
+
+    rng = np.random.default_rng(2)
+    G = 600
+    Y = np.full((4, G), 32000, np.int16)  # row total ~1.92e7 > 2^24
+    Y[:, :8] = rng.integers(1, 2000, size=(4, 8)).astype(np.int16)
+    L = np.asarray(rng.integers(1, 4, size=(G, 2)), np.float64)
+    fit = clonealign(Y, L, max_iter=2, verbose=False)
+    expect = Y.astype(np.float64).sum(axis=1)
+    assert float(expect.max()) > 2.0**24
+    np.testing.assert_array_equal(fit.ml_params["s"], expect)
+
+
 def test_auto_restart_batching_scales_with_compute_itemsize():
     """The vmap/map cutover halves its element budget for float64 compute
     (the boundary was measured at float32 intermediates)."""
