@@ -70,6 +70,14 @@ def main():
     jax.block_until_ready(ctx.data.Y)
     setup_s = time.perf_counter() - t0
     del ctx
+    # same-run link floor: this harness's tunnel bandwidth swings >5x
+    # between runs, and setup is upload-dominated — a bare device_put of
+    # the wire bytes gives each committed row its own transfer context
+    t0 = time.perf_counter()
+    d = jax.device_put(Y.astype(np.int8))
+    d.block_until_ready()
+    put_floor_s = time.perf_counter() - t0
+    del d
 
     total_s = float("inf")
     for rep in (1, 2):
@@ -85,6 +93,7 @@ def main():
         "total_s": round(total_s, 2),
         "setup_s": round(setup_s, 2),
         "fit_s": round(total_s - setup_s, 2),
+        "put_int8_floor_s": round(put_floor_s, 2),
         "cells_assigned_per_sec": round(N * 9 / max(total_s - setup_s, 1e-9), 1),
         "best_run_n_iters": n_iters,
         "y_storage_resolved": str(np.dtype(np.int8)) if not smoke else "auto",

@@ -188,6 +188,35 @@ def _auto_y_storage(y_values):
     return None
 
 
+def _resolve_auto_impl(K, P, mc_samples, jdtype, n_elements) -> str:
+    """Resolve ``likelihood_impl="auto"`` to the configuration that was
+    actually benchmarked and parity-proven (round 3,
+    benchmarks/results_tpu_r3.jsonl z_cheb_converged_parity: converged
+    z_cheb fits meet the SAME f64-oracle bar as the exact path with
+    identical assignments): the Chebyshev normalizer in the default
+    K=1 / no-covariate / single-MC-sample / float32 corner, the exact
+    XLA normalizer everywhere else (float64 fits stay exact-path —
+    they are the oracle configuration, and z_cheb's degree was tuned
+    for f32 noise floors). The *reported* ELBO stays exact either way:
+    run_inference re-evaluates the final 20-sample ELBO through the
+    exact normalizer whenever training used z_cheb.
+
+    Size gate (round 4, measured on-chip): z_cheb exists for
+    throughput, and its per-step saving is unmeasurable below ~1M
+    retained N x G elements — while on TINY marginal problems the
+    DEFAULT-precision trajectory can settle ~1e-4 relative from the
+    f64 oracle (200x100 example: 1.17e-4; 1000x400 allele toy also
+    missed; 5000x1000 and the 100k x 5k headline pass the bar —
+    benchmarks/results_tpu_r4.jsonl tpu_profile row). Below the gate
+    the exact normalizer costs nothing and keeps toy fits
+    hardware-exact. ``fit_streaming`` applies the same rule over the
+    total (pre-chunk) N x G."""
+    if (K == 1 and P == 0 and int(mc_samples) == 1
+            and jdtype == jnp.float32 and int(n_elements) >= 1_000_000):
+        return "z_cheb"
+    return "xla"
+
+
 def setup_fit(
     gene_expression_data,
     copy_number_data,
@@ -280,33 +309,9 @@ def setup_fit(
             f"'z_cheb'; got {likelihood_impl!r}"
         )
     if likelihood_impl == "auto":
-        # Resolve "auto" at the API layer to the configuration that was
-        # actually benchmarked and parity-proven (round 3,
-        # benchmarks/results_tpu_r3.jsonl z_cheb_converged_parity: converged
-        # z_cheb fits meet the SAME f64-oracle bar as the exact path with
-        # identical assignments): the Chebyshev normalizer in the default
-        # K=1 / no-covariate / single-MC-sample / float32 corner, the exact
-        # XLA normalizer everywhere else (float64 fits stay exact-path —
-        # they are the oracle configuration, and z_cheb's degree was tuned
-        # for f32 noise floors). The *reported* ELBO stays exact either way:
-        # run_inference re-evaluates the final 20-sample ELBO through the
-        # exact normalizer whenever training used z_cheb.
-        #
-        # Size gate (round 4, measured on-chip): z_cheb exists for
-        # throughput, and its per-step saving is unmeasurable below ~1M
-        # retained N x G elements — while on TINY marginal problems the
-        # DEFAULT-precision trajectory can settle ~1e-4 relative from the
-        # f64 oracle (200x100 example: 1.17e-4; 1000x400 allele toy also
-        # missed; 5000x1000 and the 100k x 5k headline pass the bar —
-        # benchmarks/results_tpu_r4.jsonl tpu_profile row). Below the gate
-        # the exact normalizer costs nothing and keeps toy fits
-        # hardware-exact.
-        big_enough = Y.shape[0] * Y.shape[1] >= 1_000_000
-        if (K == 1 and P == 0 and int(mc_samples) == 1
-                and jdtype == jnp.float32 and big_enough):
-            likelihood_impl = "z_cheb"
-        else:
-            likelihood_impl = "xla"
+        likelihood_impl = _resolve_auto_impl(
+            K, P, mc_samples, jdtype, int(Y.shape[0]) * int(Y.shape[1])
+        )
     config = mm.ModelConfig(
         K=K, P=P, mc_samples=int(mc_samples), fix_alpha=fix_alpha,
         likelihood_impl=likelihood_impl,

@@ -63,6 +63,30 @@ def compute_ca_fit_mse(fit, Y, L, model_mu: bool = False, random_clones: bool = 
     return float(np.mean((predicted - Y) ** 2))
 
 
+def _clone_sums_program(Y, idx, C: int):
+    # float64-resident data (CPU x64 oracle fits) keeps float64 sums —
+    # bit-comparable to the host path; everything else accumulates f32
+    import jax
+    import jax.numpy as jnp
+
+    acc = jnp.promote_types(Y.dtype, jnp.float32)
+    keep = (idx >= 0).astype(acc)
+    onehot = jax.nn.one_hot(idx, C, dtype=acc) * keep[:, None]
+    Yf = Y.astype(acc)
+    S = jax.lax.dot_general(
+        onehot, Yf, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (C, G)
+    sum_y2 = jax.lax.dot_general(
+        keep, Yf * Yf, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (G,)
+    return S, sum_y2
+
+
+_clone_sums_jit = None
+
+
 def _clone_sums_device(Y_dev, idx_full, C):
     """Sufficient statistics for :func:`compute_correlations` computed on the
     accelerator instead of a host pass over N x G: per-(clone, gene) sums S
@@ -73,32 +97,27 @@ def _clone_sums_device(Y_dev, idx_full, C):
     out_of_box_phase_attribution); the device version is milliseconds plus a
     (C+2) x G fetch. f32 accumulation bounds the relative error of each sum
     near ~n*2^-24 — far below what a sign/quartile QC diagnostic
-    (reference R/clonealign.R:296-300) can sense; equivalence vs the f64
-    host path is asserted in tests/test_assign.py."""
+    (reference R/clonealign.R:296-300) can sense (the one place it can't —
+    a near-constant gene whose variance cancels in f32 — is recomputed on
+    the host by compute_correlations); equivalence vs the f64 host path is
+    asserted in tests/test_assign.py."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def stats(Y, idx):
-        # float64-resident data (CPU x64 oracle fits) keeps float64 sums —
-        # bit-comparable to the host path; everything else accumulates f32
-        acc = jnp.promote_types(Y.dtype, jnp.float32)
-        keep = (idx >= 0).astype(acc)
-        onehot = jax.nn.one_hot(idx, C, dtype=acc) * keep[:, None]
-        Yf = Y.astype(acc)
-        S = jax.lax.dot_general(
-            onehot, Yf, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (C, G)
-        sum_y2 = jax.lax.dot_general(
-            keep, Yf * Yf, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (G,)
-        return S, sum_y2
+    # module-level jit: jax caches by function identity, so a per-call
+    # closure would retrace/recompile this program on EVERY invocation
+    # (run_clonealign calls it once per restart for multirun correlations)
+    global _clone_sums_jit
+    if _clone_sums_jit is None:
+        _clone_sums_jit = jax.jit(
+            _clone_sums_program, static_argnames=("C",)
+        )
 
-    S, sum_y2 = stats(Y_dev, jnp.asarray(idx_full, jnp.int32))
-    S = np.asarray(S, np.float64)
-    return S, S.sum(axis=0), np.asarray(sum_y2, np.float64)
+    S, sum_y2 = _clone_sums_jit(Y_dev, jnp.asarray(idx_full, jnp.int32), C=C)
+    # np.array (not asarray): float64-resident fetches can otherwise alias a
+    # read-only buffer, and the caller patches suspect genes in place
+    S = np.array(S, np.float64)
+    return S, S.sum(axis=0), np.array(sum_y2, np.float64)
 
 
 def compute_correlations(Y, L, clones, clone_names, device_Y=None):
@@ -139,6 +158,28 @@ def compute_correlations(Y, L, clones, clone_names, device_Y=None):
         )
         m = np.bincount(idx_full[keep], minlength=C).astype(np.float64)
         S, sum_y, sum_y2 = _clone_sums_device(device_Y, idx_full, C)
+        # Cancellation guard: var_y = sum_y2 - sum_y^2/M subtracts two
+        # near-equal numbers for a near-constant high-mean gene, amplifying
+        # the f32 accumulation error of the device sums far past the ~2^-24
+        # relative bound on the sums themselves (a truly constant gene must
+        # read var 0 -> NaN, like R's cor). Genes whose variance is a tiny
+        # fraction of sum_y2 are recomputed exactly on the host — a column
+        # slice, so O(N x k) for the (rare) k suspects, not O(N x G).
+        with np.errstate(invalid="ignore"):
+            var_pre = sum_y2 - sum_y * sum_y / M
+        suspect = np.flatnonzero(
+            (sum_y2 > 0) & ~(var_pre > 1e-3 * sum_y2)
+        )
+        if suspect.size:
+            cols = Y[:, suspect]
+            cols = cols.toarray() if _is_scipy_sparse(cols) else np.asarray(cols)
+            cols = cols.astype(np.float64)[keep]
+            ib = idx_full[keep]
+            sum_y[suspect] = cols.sum(axis=0)
+            sum_y2[suspect] = (cols * cols).sum(axis=0)
+            for c in range(C):
+                sel = ib == c
+                S[c, suspect] = cols[sel].sum(axis=0) if sel.any() else 0.0
     elif sparse:
         idx = np.asarray([col_idx[c] for c in clones[keep]])
         m = np.bincount(idx, minlength=C).astype(np.float64)  # cells per clone

@@ -197,7 +197,10 @@ def _prepare_data_core_table(Yi, L, table):
     its (<=16-bit) integer wire dtype and the elementwise lgamma becomes a
     gather from the log-factorial table — bit-identical values, a fraction
     of the XLA:TPU compile cost (see _log_factorial_table). Also returns
-    the exact max count for the integer-storage range check."""
+    the exact max count (integer-storage range check) and min count
+    (negative-count guard: ``jnp.take`` CLIPS out-of-range indices, so a
+    negative count would otherwise gather log(0!) and corrupt silently
+    where the lgamma path produced a visible inf)."""
     dtype = L.dtype
     Y = Yi.astype(dtype)
     with jax.default_matmul_precision("highest"):
@@ -209,7 +212,8 @@ def _prepare_data_core_table(Yi, L, table):
         hits_zero = (Y @ (L <= 0).astype(dtype)) > 0
         B = jnp.where(hits_zero, -jnp.inf, B)
         mx = jnp.max(Y) if Y.size else jnp.zeros((), dtype)
-        return s, log_binom, B, jnp.sum(Y, axis=0), mx
+        mn = jnp.min(Y) if Y.size else jnp.zeros((), dtype)
+        return s, log_binom, B, jnp.sum(Y, axis=0), mx, mn
 
 
 def prepare_data(Y, L, x=None, dtype=jnp.float32, y_storage=None) -> ModelData:
@@ -253,7 +257,11 @@ def prepare_data(Y, L, x=None, dtype=jnp.float32, y_storage=None) -> ModelData:
     X = None if x is None else jnp.asarray(x, dtype)
     table = _stats_table_for(Yw.dtype, dtype)
     if table is not None:
-        s, log_binom, B, colsum, mx = _prepare_data_core_table(Yw, L, table)
+        s, log_binom, B, colsum, mx, mn = _prepare_data_core_table(Yw, L, table)
+        if float(mn) < 0:
+            raise ValueError(
+                "gene_expression_data must be non-negative raw counts"
+            )
         if y_storage is not None and jnp.issubdtype(store_dt, jnp.integer):
             info = jnp.iinfo(store_dt)
             if float(mx) > info.max:
@@ -328,13 +336,16 @@ def _chunk_stats_table(yci, table, log_L_safe, zero_cols):
     over the (rows, G) block becomes a gather from ``table`` — bit-identical
     values (the table IS lax.lgamma evaluated on 0..nmax, see
     _log_factorial_table) at a fraction of the XLA:TPU compile cost.
-    ``nonint`` is identically zero for integer inputs."""
+    ``nonint`` is identically zero for integer inputs. Returns the min count
+    too: ``jnp.take`` CLIPS out-of-range indices, so callers must raise on
+    negatives rather than let them gather log(0!) silently."""
     dtype = log_L_safe.dtype
     yc = yci.astype(dtype)
     lgam = jnp.take(table, yci.astype(jnp.int32), axis=0)
     s, lb, B, cs = _stats_body(yc, lgam, log_L_safe, zero_cols)
     ymax = jnp.max(yc) if yc.size else jnp.zeros((), dtype)
-    return s, lb, B, cs, ymax, jnp.zeros((), dtype)
+    ymin = jnp.min(yc) if yc.size else jnp.zeros((), dtype)
+    return s, lb, B, cs, ymax, jnp.zeros((), dtype), ymin
 
 
 _LGAMMA_TABLES: dict = {}
@@ -452,14 +463,16 @@ def _block_stats_table(Yw, table, log_L_safe, zero_cols, i, block: int):
     """Integer-wire twin of :func:`_block_stats`: elementwise lgamma is a
     gather from the log-factorial table (bit-identical values, ~20x less
     XLA:TPU compile — see _log_factorial_table); nonint is identically
-    zero for integer inputs."""
+    zero for integer inputs. Also returns the block min (negative-count
+    guard — the table gather clips, see _chunk_stats_table)."""
     dtype = log_L_safe.dtype
     yci, fresh = _block_slice(Yw, i, block)
     yc = yci.astype(dtype)
     lgam = jnp.take(table, yci.astype(jnp.int32), axis=0)
     s, lb, B, cs = _stats_body(yc, lgam, log_L_safe, zero_cols, fresh)
     mx = jnp.max(jnp.where(fresh, yc, -jnp.inf))
-    return s, lb, B, cs, mx, jnp.zeros((), dtype)
+    mn = jnp.min(jnp.where(fresh, yc, jnp.inf))
+    return s, lb, B, cs, mx, jnp.zeros((), dtype), mn
 
 
 def _prepare_data_dense_chunked(Y, L, x=None, dtype=jnp.float32, y_storage=None):
@@ -475,72 +488,132 @@ def _prepare_data_dense_chunked(Y, L, x=None, dtype=jnp.float32, y_storage=None)
     zero_cols = (L <= 0).astype(dtype)
     store = dtype if y_storage is None else y_storage
     store_dt = jnp.dtype(store)
-    reuse_input = isinstance(Y, jax.Array) and Y.dtype == store_dt
     int_store = jnp.issubdtype(store_dt, jnp.integer)
 
-    # Phase 1 — ship the matrix in the narrowest exact wire dtype (see
-    # _wire_np; measured at 100k x 5k, int16 host / int8 storage:
-    # prepare_data 24.8 s with host-dtype uploads vs a 12.6 s bare int8
-    # link floor — benchmarks setup_phases probe). Per-chunk host
-    # validate/downcast + bare device_put, NO compute dispatch.
+    # Ship each chunk in the narrowest exact wire dtype (see _wire_np;
+    # measured at 100k x 5k, int16 host / int8 storage: prepare_data 24.8 s
+    # with host-dtype uploads vs a 12.6 s bare int8 link floor — benchmarks
+    # setup_phases probe). Host validate/downcast per chunk, bare device_put.
     wire_np = (
         _wire_np(Y.dtype, dtype, store_dt) if isinstance(Y, np.ndarray) else None
     )
-    chunk = _row_chunk_size(N, G)
-    y_parts = []
-    if not reuse_input and not isinstance(Y, jax.Array):
-        for i in range(0, N, chunk):
-            c = Y[i : i + chunk]
-            if wire_np is not None and c.dtype != wire_np:
-                if int_store:
-                    _host_check_lossless(c, wire_np, store_dt)
-                c = np.ascontiguousarray(c, dtype=wire_np)
-            y_parts.append(jnp.asarray(c))
-        Yw = jnp.concatenate(y_parts, axis=0) if len(y_parts) > 1 else y_parts[0]
+    if isinstance(Y, np.ndarray):
+        shipped_np = wire_np if wire_np is not None else np.dtype(Y.dtype)
+        shipped_dt = jnp.dtype(shipped_np.name)
     else:
-        Yw = Y  # already device-resident; stats read it in place
-    del y_parts
+        shipped_dt = jnp.dtype(Y.dtype)
+    chunk = _row_chunk_size(N, G)
 
-    # Phase 2 — stats over the device-resident wire-dtype matrix: one
-    # fixed-shape compiled program, one dispatch per block (see
-    # _block_stats / _block_stats_table — the latter whenever the shipped
-    # dtype is a <=16-bit integer, which sidesteps the measured 30-42 s
-    # XLA:TPU compile of a 2-D lgamma). Scalar reductions accumulate on
-    # device; the single host sync happens once, after the last block.
-    table = _stats_table_for(Yw.dtype, dtype)
-    block = min(chunk, N)
-    nb = -(-N // block)
-    s_parts, lb_parts, B_parts = [], [], []
-    colsum = jnp.zeros((G,), dtype)
-    mx = jnp.full((), -jnp.inf, dtype)
-    ni = jnp.zeros((), dtype)
-    for i in range(nb):
-        if table is not None:
-            s_b, lb_b, B_b, cs_b, mx_b, ni_b = _block_stats_table(
-                Yw, table, log_L_safe, zero_cols, i, block
-            )
+    def _host_chunk(i):
+        c = Y[i : i + chunk]
+        if wire_np is not None and c.dtype != wire_np:
+            if int_store:
+                _host_check_lossless(c, wire_np, store_dt)
+            c = np.ascontiguousarray(c, dtype=wire_np)
+        return c
+
+    if isinstance(Y, jax.Array) or shipped_dt == store_dt:
+        # Zero-extra-copy case: the shipped matrix IS the stored matrix (or
+        # Y is already device-resident). Phase 1 uploads every chunk with no
+        # compute dispatch; Phase 2 runs ONE fixed-shape compiled stats
+        # program per row block over the device-resident matrix (see
+        # _block_stats / _block_stats_table — the latter whenever the
+        # shipped dtype is a <=16-bit integer, sidestepping the measured
+        # 30-42 s XLA:TPU compile of a 2-D lgamma). Scalar reductions
+        # accumulate on device; one host sync after the last block.
+        if isinstance(Y, jax.Array):
+            Yw = Y  # stats read it in place
         else:
-            s_b, lb_b, B_b, cs_b, mx_b, ni_b = _block_stats(
-                Yw, log_L_safe, zero_cols, i, block
+            y_parts = [jnp.asarray(_host_chunk(i)) for i in range(0, N, chunk)]
+            Yw = (
+                jnp.concatenate(y_parts, axis=0) if len(y_parts) > 1 else y_parts[0]
             )
-        if i == nb - 1 and nb * block > N:
-            tail = N - i * block  # fresh rows of the clamped tail block
-            s_b, lb_b, B_b = (
-                s_b[block - tail :],
-                lb_b[block - tail :],
-                B_b[block - tail :],
+            del y_parts
+        table = _stats_table_for(Yw.dtype, dtype)
+        block = min(chunk, N)
+        nb = -(-N // block)
+        s_parts, lb_parts, B_parts = [], [], []
+        colsum = jnp.zeros((G,), dtype)
+        mx = jnp.full((), -jnp.inf, dtype)
+        ni = jnp.zeros((), dtype)
+        mn = jnp.full((), jnp.inf, dtype)
+        for i in range(nb):
+            if table is not None:
+                s_b, lb_b, B_b, cs_b, mx_b, ni_b, mn_b = _block_stats_table(
+                    Yw, table, log_L_safe, zero_cols, i, block
+                )
+                mn = jnp.minimum(mn, mn_b)
+            else:
+                s_b, lb_b, B_b, cs_b, mx_b, ni_b = _block_stats(
+                    Yw, log_L_safe, zero_cols, i, block
+                )
+            if i == nb - 1 and nb * block > N:
+                tail = N - i * block  # fresh rows of the clamped tail block
+                s_b, lb_b, B_b = (
+                    s_b[block - tail :],
+                    lb_b[block - tail :],
+                    B_b[block - tail :],
+                )
+            s_parts.append(s_b)
+            lb_parts.append(lb_b)
+            B_parts.append(B_b)
+            colsum = colsum + cs_b
+            mx = jnp.maximum(mx, mx_b)
+            ni = jnp.maximum(ni, ni_b)
+        if table is not None and float(mn) < 0:
+            raise ValueError(
+                "gene_expression_data must be non-negative raw counts"
             )
-        s_parts.append(s_b)
-        lb_parts.append(lb_b)
-        B_parts.append(B_b)
-        colsum = colsum + cs_b
-        mx = jnp.maximum(mx, mx_b)
-        ni = jnp.maximum(ni, ni_b)
-    s_all = jnp.concatenate(s_parts) if nb > 1 else s_parts[0]
-    lb_all = jnp.concatenate(lb_parts) if nb > 1 else lb_parts[0]
-    B_all = jnp.concatenate(B_parts, axis=0) if nb > 1 else B_parts[0]
-    ymax = float(mx)
-    max_nonint = float(ni)
+        s_all = jnp.concatenate(s_parts) if nb > 1 else s_parts[0]
+        lb_all = jnp.concatenate(lb_parts) if nb > 1 else lb_parts[0]
+        B_all = jnp.concatenate(B_parts, axis=0) if nb > 1 else B_parts[0]
+        ymax = float(mx)
+        max_nonint = float(ni)
+        Yd = Yw if Yw.dtype == store_dt else Yw.astype(store)
+    else:
+        # Wire dtype differs from storage (e.g. f32 wire for bfloat16
+        # storage, or an int16 wire stored as f32): stream chunk by chunk —
+        # upload the wire chunk, run its stats, downcast to storage, FREE
+        # the wire chunk — so peak device memory stays
+        # O(chunk x G) + N x G x storage_bytes (holding the full wire-dtype
+        # matrix alongside the storage copy would be ~3x the storage bytes
+        # for bfloat16, breaking the very-large-input contract above).
+        # At most two program shapes compile (body + tail).
+        table = (
+            _stats_table_for(shipped_dt, dtype) if shipped_dt is not None else None
+        )
+        s_parts, lb_parts, B_parts, y_parts = [], [], [], []
+        colsum = jnp.zeros((G,), dtype)
+        ymax = -np.inf
+        max_nonint = 0.0
+        for i in range(0, N, chunk):
+            yc = jnp.asarray(_host_chunk(i))
+            if table is not None:
+                s_c, lb_c, B_c, cs, mx_c, ni_c, mn_c = _chunk_stats_table(
+                    yc, table, log_L_safe, zero_cols
+                )
+                if float(mn_c) < 0:
+                    raise ValueError(
+                        "gene_expression_data must be non-negative raw counts"
+                    )
+            else:
+                yc = yc.astype(dtype)
+                s_c, lb_c, B_c, cs, mx_c, ni_c = _chunk_stats(
+                    yc, log_L_safe, zero_cols
+                )
+            s_parts.append(s_c)
+            lb_parts.append(lb_c)
+            B_parts.append(B_c)
+            colsum = colsum + cs
+            ymax = max(ymax, float(mx_c))
+            max_nonint = max(max_nonint, float(ni_c))
+            y_parts.append(yc.astype(store))
+            del yc
+        s_all = jnp.concatenate(s_parts) if len(s_parts) > 1 else s_parts[0]
+        lb_all = jnp.concatenate(lb_parts) if len(lb_parts) > 1 else lb_parts[0]
+        B_all = jnp.concatenate(B_parts, axis=0) if len(B_parts) > 1 else B_parts[0]
+        Yd = jnp.concatenate(y_parts, axis=0) if len(y_parts) > 1 else y_parts[0]
+        del y_parts
 
     if y_storage is not None and jnp.issubdtype(jnp.dtype(y_storage), jnp.integer):
         info = jnp.iinfo(jnp.dtype(y_storage))
@@ -554,7 +627,6 @@ def _prepare_data_dense_chunked(Y, L, x=None, dtype=jnp.float32, y_storage=None)
                 "integer y_storage requires integer counts; found fractional values"
             )
 
-    Yd = Yw if Yw.dtype == store_dt else Yw.astype(store)
     return ModelData(
         Y=Yd,
         L=L,

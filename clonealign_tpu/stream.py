@@ -68,6 +68,7 @@ from .api import (
     _colsum_f64,
     _parse_copy_number,
     _parse_expression,
+    _resolve_auto_impl,
     _setup_allele,
     _validate_counts,
 )
@@ -397,6 +398,13 @@ def fit_streaming(
         clone_allele, cov, ref, N, C, jdtype, verbose
     )
 
+    if likelihood_impl == "auto":
+        # same gate as the in-core driver (api._resolve_auto_impl), applied
+        # to the TOTAL N x G — streamed problems are by definition large, so
+        # the default-corner stream trains through z_cheb like an in-core
+        # fit would, instead of silently keeping the exact path. z_cheb fits
+        # its Chebyshev range per chunk here (see module docstring).
+        likelihood_impl = _resolve_auto_impl(K, P, mc_samples, jdtype, N * G)
     config = mm.ModelConfig(
         K=K, P=P, mc_samples=int(mc_samples), fix_alpha=fix_alpha,
         likelihood_impl=likelihood_impl,
@@ -419,7 +427,11 @@ def fit_streaming(
             # chunk's compute loses the parallelism on that one axis.
             if arr is None:
                 return None
-            arr = jnp.asarray(arr)
+            # device_put takes host numpy directly and performs per-shard
+            # host->device copies; a jnp.asarray here would first commit the
+            # whole chunk to the default device and then reshard it — an
+            # extra full-chunk allocation on one chip plus an ICI pass, on
+            # the per-chunk hot path.
             spec = tuple(
                 ax if (ax is not None and arr.shape[d] % mesh.shape[ax] == 0)
                 else None
@@ -428,7 +440,7 @@ def fit_streaming(
             return jax.device_put(arr, NamedSharding(mesh, _PS(*spec)))
     else:
         def _shard(arr, *axes):
-            return arr
+            return arr if arr is None else jnp.asarray(arr)
 
     chunk = _resolve_chunk_cells(chunk_cells, N, G)
     bounds = _chunk_bounds(N, chunk)
@@ -461,7 +473,9 @@ def fit_streaming(
         return np.ascontiguousarray(src[i:j], dtype=host_np)
 
     def put_chunk(i, j) -> jax.Array:
-        y = _shard(jnp.asarray(get_chunk(i, j)), "cells", "genes")
+        # host numpy straight into _shard: under a mesh, device_put splits
+        # the chunk per shard without first committing it whole to device 0
+        y = _shard(get_chunk(i, j), "cells", "genes")
         return y if dev_cast is None else y.astype(dev_cast)
 
     # --- per-chunk statistics pass (one-time, full precision; same kernel
@@ -488,9 +502,15 @@ def fit_streaming(
         s64_parts.append(blk.sum(axis=1, dtype=np.float64))
         if src_table is not None:
             yc = jnp.asarray(blk)
-            s_c, lb_c, B_c, cs, mx, ni = mm._chunk_stats_table(
+            s_c, lb_c, B_c, cs, mx, ni, mn = mm._chunk_stats_table(
                 yc, src_table, log_L_safe, zero_cols
             )
+            if float(mn) < 0:
+                # the table gather clips negative indices — raise instead of
+                # silently treating a negative count as log(0!)
+                raise ValueError(
+                    "gene_expression_data must be non-negative raw counts"
+                )
         else:
             yc = jnp.asarray(blk).astype(jdtype)
             s_c, lb_c, B_c, cs, mx, ni = mm._chunk_stats(yc, log_L_safe, zero_cols)
@@ -578,13 +598,14 @@ def fit_streaming(
         )
         cells[c] = cells[c]._replace(gamma_logits=warm)
 
-    def full_eval(sh, cell_list, keys):
+    def full_eval(sh, cell_list, keys, eval_config=None):
         """Sum of cell terms over all chunks + global terms, per key."""
-        tot = _global_eval(sh, keys, colsum, config=config)
+        cfg = config if eval_config is None else eval_config
+        tot = _global_eval(sh, keys, colsum, config=cfg)
         for c, (i, j) in enumerate(bounds):
             tot = tot + _chunk_eval(
                 sh, cell_list[c], put_chunk(i, j), L_dev, statics[c], keys,
-                config=config,
+                config=cfg,
             )
         return tot
 
@@ -633,12 +654,21 @@ def fit_streaming(
                   f"mean|d| {np.mean(np.abs(window)):.3e}")
 
     # --- final ELBO: mean/sd of fresh evaluations (reference
-    # R/inference-tflow.R:447-454), one chunk sweep for all samples ---
+    # R/inference-tflow.R:447-454), one chunk sweep for all samples. Like
+    # the in-core loop (infer.py): when training used the Chebyshev
+    # normalizer, the REPORTED ELBO is re-evaluated through the exact one,
+    # so z_cheb fits stay directly comparable to exact-path ELBOs ---
+    final_config = (
+        config._replace(likelihood_impl="xla")
+        if mm._use_z_cheb(config)
+        else config
+    )
     eval_keys = jax.random.split(
         jax.random.fold_in(loop_key, 7), int(n_final_elbo_samples)
     )
     finals = np.asarray(full_eval(
-        shared, [cs.cell for cs in cell_states], eval_keys
+        shared, [cs.cell for cs in cell_states], eval_keys,
+        eval_config=final_config,
     ))
     final_elbo = float(np.mean(finals))
     sd_final = float(np.std(finals, ddof=1))

@@ -88,6 +88,30 @@ def test_device_path_matches_host():
     np.testing.assert_allclose(dev8, host, rtol=1e-5, atol=1e-7, equal_nan=True)
 
 
+def test_device_path_cancellation_guard():
+    """var_y = sum_y2 - sum_y^2/M cancels catastrophically in the f32 device
+    sums for a near-constant high-mean gene; such genes are recomputed
+    exactly on the host (and a truly constant gene must stay NaN, like R's
+    cor). float32 device residency is the production configuration."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    N = 400
+    Y = rng.poisson(4, (N, 4)).astype(float)
+    Y[:, 0] = 10001.0                      # constant high-mean -> var 0 -> NaN
+    Y[:, 1] = 10001.0                      # near-constant high-mean
+    Y[rng.integers(0, N, 5), 1] += 1.0
+    L = rng.integers(1, 5, (4, 3)).astype(float)
+    clones = (["A", "B", "C"] * N)[:N]
+    names = ["A", "B", "C"]
+    host = compute_correlations(Y, L, clones, names)
+    dev32 = compute_correlations(
+        Y, L, clones, names, device_Y=jnp.asarray(Y, jnp.float32)
+    )
+    assert np.isnan(host[0]) and np.isnan(dev32[0])
+    np.testing.assert_allclose(dev32, host, rtol=1e-6, atol=1e-9, equal_nan=True)
+
+
 def test_device_path_all_unassigned():
     import jax.numpy as jnp
 

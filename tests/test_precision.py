@@ -193,6 +193,57 @@ def test_chunked_wire_fractional_raises_before_upload():
         mm._CHUNK_ELEMENTS = orig
 
 
+def test_negative_counts_raise_on_table_paths():
+    """jnp.take CLIPS out-of-range indices, so a negative count would gather
+    log(0!) and corrupt silently on the table paths (the lgamma path made it
+    a visible inf) — prepare_data must raise instead, on both the in-core
+    and the chunked integer-wire paths (api callers validate earlier, but
+    sharded_fit calls prepare_data directly)."""
+    import clonealign_tpu.models.multinomial as mm
+
+    rng = np.random.default_rng(9)
+    Y = rng.poisson(4.0, (60, 25)).astype(np.int16)
+    Y[7, 3] = -2
+    L = rng.integers(1, 5, (25, 3)).astype(np.float64)
+    with pytest.raises(ValueError, match="non-negative"):
+        mm.prepare_data(Y, L, dtype=jnp.float32)
+    orig = mm._CHUNK_ELEMENTS
+    mm._CHUNK_ELEMENTS = 400
+    try:
+        with pytest.raises(ValueError, match="non-negative"):
+            mm.prepare_data(Y, L, dtype=jnp.float32, y_storage=jnp.int16)
+    finally:
+        mm._CHUNK_ELEMENTS = orig
+
+
+def test_chunked_bf16_storage_streams_per_chunk():
+    """bfloat16 storage ships f32 wire chunks but must NOT hold the full
+    f32 matrix alongside the bf16 copy (the very-large-input memory
+    contract): the chunked path streams and downcasts per chunk. Pin the
+    resulting ModelData against the unchunked path."""
+    import clonealign_tpu.models.multinomial as mm
+
+    rng = np.random.default_rng(13)
+    Y = rng.poisson(4.0, (90, 30)).astype(np.float64)
+    L = rng.integers(1, 5, (30, 3)).astype(np.float64)
+    ref = mm.prepare_data(Y, L, dtype=jnp.float32, y_storage=jnp.bfloat16)
+    orig = mm._CHUNK_ELEMENTS
+    mm._CHUNK_ELEMENTS = 600
+    try:
+        ch = mm.prepare_data(Y, L, dtype=jnp.float32, y_storage=jnp.bfloat16)
+    finally:
+        mm._CHUNK_ELEMENTS = orig
+    assert ch.Y.dtype == jnp.bfloat16
+    for f in ref._fields:
+        a, b = getattr(ref, f), getattr(ch, f)
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), err_msg=f
+        )
+
+
 def test_log_factorial_table_bit_identical_to_lgamma():
     """The table-gather log-binomial (round 4: sidesteps a measured 30-42 s
     XLA:TPU compile of 2-D lgamma) must be BIT-identical to the lgamma

@@ -250,6 +250,28 @@ def test_verbose_messages(capsys):
     assert "Optimizing ELBO" in out
 
 
+def test_auto_impl_consults_the_api_gate(monkeypatch):
+    """likelihood_impl='auto' must resolve through the SAME size-gated rule
+    as the in-core driver (api._resolve_auto_impl), evaluated on the TOTAL
+    N x G — streamed problems are by definition large, so defaults train
+    through z_cheb exactly like an in-core fit would (the CLI --stream help
+    promises this)."""
+    import clonealign_tpu.stream as stream_mod
+
+    seen = {}
+    real = stream_mod._resolve_auto_impl
+
+    def spy(K, P, S, jdtype, n_elements):
+        seen["args"] = (K, P, int(S), int(n_elements))
+        return real(K, P, S, jdtype, n_elements)
+
+    monkeypatch.setattr(stream_mod, "_resolve_auto_impl", spy)
+    sim = _sim(N=30, G=15, seed=21)
+    fit_streaming(sim.Y, sim.L, chunk_cells=10, max_iter=2, seed=1,
+                  verbose=False)
+    assert seen["args"] == (1, 0, 1, 30 * 15)
+
+
 def test_validation_errors():
     sim = _sim(N=20, G=10, seed=15)
     with pytest.raises(ValueError, match="fused"):
