@@ -51,8 +51,27 @@ def main():
     L = np.asarray(jax.device_get(Ld), np.float64)
     del Yd, Ld
 
+    from clonealign_tpu import restarts as _restarts
     from clonealign_tpu import run_clonealign
-    from clonealign_tpu.api import setup_fit
+
+    # Record setup time from INSIDE each measured call: setup is
+    # upload-dominated and this harness's tunnel bandwidth swings >5x
+    # between runs, so a setup_s measured in a separate run once produced
+    # a committed row with fit_s = total_s - setup_s = -36 s. Wrapping the
+    # sweep driver's setup_fit keeps the measured call a literal plain
+    # run_clonealign while giving same-run attribution (the added
+    # block_until_ready only moves the upload sync a few lines earlier).
+    _setup_orig = _restarts.setup_fit
+    setup_times = []
+
+    def _timed_setup(*a, **k):
+        t0 = time.perf_counter()
+        ctx = _setup_orig(*a, **k)
+        jax.block_until_ready(ctx.data.Y)
+        setup_times.append(time.perf_counter() - t0)
+        return ctx
+
+    _restarts.setup_fit = _timed_setup
 
     def one_call(seed):
         t0 = time.perf_counter()
@@ -64,25 +83,19 @@ def main():
 
     # call 1: compile (excluded)
     fit, _ = one_call(0)
-    # measure host-side setup alone so fit_s = total - setup is honest
-    t0 = time.perf_counter()
-    ctx = setup_fit(Y, L, verbose=False)
-    jax.block_until_ready(ctx.data.Y)
-    setup_s = time.perf_counter() - t0
-    del ctx
-    # same-run link floor: this harness's tunnel bandwidth swings >5x
-    # between runs, and setup is upload-dominated — a bare device_put of
-    # the wire bytes gives each committed row its own transfer context
+    # same-run link floor: a bare device_put of the wire bytes gives each
+    # committed row its own transfer context
     t0 = time.perf_counter()
     d = jax.device_put(Y.astype(np.int8))
     d.block_until_ready()
     put_floor_s = time.perf_counter() - t0
     del d
 
-    total_s = float("inf")
+    total_s = setup_s = float("inf")
     for rep in (1, 2):
         fit, t = one_call(rep)
-        total_s = min(total_s, t)
+        if t < total_s:
+            total_s, setup_s = t, setup_times[-1]
 
     n_iters = int(fit.convergence_info.n_iters)
     elbos = [round(float(e), 1) for e in fit.multirun_info["elbos"]]

@@ -265,7 +265,20 @@ def setup_fit(
     else:
         retained_genes = list(np.flatnonzero(~low))
 
-    _validate_counts(Y, sparse_input)
+    # For dense <=16-bit integer matrices the host validation pass is
+    # redundant: integers cannot be NaN/inf, the table-stats programs in
+    # prepare_data enforce non-negativity on device (min count), and the
+    # zero-count-cell check runs below from the device row sums — skipping
+    # the O(N x G) host scan (measured ~0.8-1.7 s at 100k x 5k; on a real
+    # TPU host the remaining host passes, not the PCIe link, bound setup).
+    device_validated = (
+        not sparse_input
+        and isinstance(Y, np.ndarray)
+        and np.issubdtype(Y.dtype, np.integer)
+        and Y.dtype.itemsize <= 2
+    )
+    if not device_validated:
+        _validate_counts(Y, sparse_input)
     if K > 0 and N < 2:
         raise ValueError(
             "At least 2 cells are required when K > 0 (the PCA initialization "
@@ -338,6 +351,10 @@ def setup_fit(
     if storage == "auto":
         storage = _auto_y_storage(Y.data if sparse_input else Y)
     data = mm.prepare_data(Y, L, x=x, dtype=jdtype, y_storage=storage)
+    if device_validated and float(jnp.min(data.s)) == 0:
+        raise ValueError(
+            "Some cells have no counts mapping"
+        )  # reference R/inference-tflow.R:212-214
 
     return FitContext(
         Y=Y,

@@ -120,7 +120,50 @@ def _clone_sums_device(Y_dev, idx_full, C):
     return S, S.sum(axis=0), np.array(sum_y2, np.float64)
 
 
-def compute_correlations(Y, L, clones, clone_names, device_Y=None):
+_calls_jit = None
+
+
+def multirun_calls_device(gamma_logits, threshold):
+    """Threshold-argmax clone calls for EVERY restart lane in one device
+    program: softmax -> (argmax, max) -> threshold (NaN rows read
+    unassigned, same guard as :func:`clone_assignment`), plus per-lane
+    per-label counts. Replaces a host pass that fetched the full
+    (R, N, C) softmax (36 MB at the 100k x 5k x 10 headline — measured
+    1.8 s of tunnel fetch plus ~1 s of host argmax/unique per
+    benchmarks/results_tpu_r4.jsonl out_of_box_phase_attribution) with a
+    (R, N) int32 fetch. Numerically identical to the host path: the same
+    device-computed float32 softmax feeds an elementwise argmax/compare
+    either way.
+
+    Returns ``(called, counts)`` as numpy arrays: ``called[r, n]`` in
+    ``0..C`` with ``C`` meaning unassigned; ``counts[r, label]`` over the
+    ``C + 1`` labels.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    global _calls_jit
+    if _calls_jit is None:
+
+        def prog(gl, t):
+            probs = jax.nn.softmax(gl, axis=-1)
+            best = jnp.argmax(probs, axis=-1)
+            maxp = jnp.max(probs, axis=-1)
+            n_clones = gl.shape[-1]
+            # NaN rows (diverged lane): nan >= t is False -> unassigned
+            called = jnp.where(maxp >= t, best, n_clones)
+            counts = (called[..., None] == jnp.arange(n_clones + 1)).sum(
+                axis=-2, dtype=jnp.int32
+            )
+            return called.astype(jnp.int32), counts
+
+        _calls_jit = jax.jit(prog)
+
+    called, counts = _calls_jit(gamma_logits, jnp.float32(threshold))
+    return np.asarray(called), np.asarray(counts)
+
+
+def compute_correlations(Y, L, clones, clone_names, device_Y=None, clones_idx=None):
     """Per-gene Pearson correlation between expression and the copy number of
     each cell's assigned clone (reference R/clonealign.R:318-334 — which
     z-scores expression first; Pearson is affine-invariant, so correlating

@@ -94,6 +94,23 @@ def test_zero_count_cell_raises(sce):
         clonealign(Y, L, max_iter=2, verbose=False)
 
 
+@pytest.mark.parametrize("host_dt", [np.int16, np.int8, np.float32, np.int32])
+def test_zero_count_and_negative_raise_per_dtype(sce, host_dt):
+    """Dense <=16-bit integer inputs skip the host validation pass (the
+    device stats enforce it — api.setup_fit device_validated); wider/float
+    dtypes keep the host scan. Identical errors either way."""
+    L = dict(zip(sce.clone_names, sce.copy_number.T))
+    base = np.minimum(sce.counts, 100)  # keep int8 casts lossless
+    Y = base.astype(host_dt)
+    Y[3, :] = 0
+    with pytest.raises(ValueError, match="no counts"):
+        clonealign(Y, L, max_iter=2, verbose=False)
+    Y = base.astype(host_dt)
+    Y[5, 7] = -1
+    with pytest.raises(ValueError, match="non-negative"):
+        clonealign(Y, L, max_iter=2, verbose=False)
+
+
 def test_covariates_and_mc_samples(sce):
     L = dict(zip(sce.clone_names, sce.copy_number.T))
     x = np.random.default_rng(0).normal(size=(sce.n_cells, 2))
