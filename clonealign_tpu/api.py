@@ -91,16 +91,36 @@ def _colsum_f64(Y, sparse: bool) -> np.ndarray:
     return acc
 
 
-def _validate_counts(Y, sparse: bool) -> None:
-    """NaN/inf, negativity, and zero-count-cell checks
-    (reference R/inference-tflow.R:212-214) — chunk-wise for dense inputs so
-    no full-size boolean/temporary is ever allocated."""
+_FRACTIONAL_MSG = (
+    "gene_expression_data must contain raw integer counts — clonealign's "
+    "model is a count likelihood, and the reference API takes the counts "
+    "assay specifically (reference R/clonealign.R:212-224). Found fractional "
+    "values, which usually means normalized/log-transformed data (e.g. "
+    "scanpy's adata.X after normalization). Pass the raw counts instead "
+    "(AnnData users: adata.layers['counts'] or adata.raw.X), or set "
+    "allow_fractional=True to fit the fractional values anyway."
+)
+
+
+def _validate_counts(Y, sparse: bool, allow_fractional: bool = False) -> None:
+    """NaN/inf, negativity, integrality, and zero-count-cell checks
+    (reference R/inference-tflow.R:212-214; the integrality check enforces
+    the reference's counts-assay contract, R/clonealign.R:212-224) —
+    chunk-wise for dense inputs so no full-size boolean/temporary is ever
+    allocated."""
     if sparse:
         v = Y.data
         if np.issubdtype(v.dtype, np.floating) and not np.isfinite(v).all():
             raise ValueError("gene_expression_data contains NaN/inf values")
         if v.size and (v < 0).any():
             raise ValueError("gene_expression_data must be non-negative raw counts")
+        if (
+            not allow_fractional
+            and np.issubdtype(v.dtype, np.floating)
+            and v.size
+            and np.any(v != np.trunc(v))
+        ):
+            raise ValueError(_FRACTIONAL_MSG)
         if (np.asarray(Y.sum(axis=1)).ravel() == 0).any():
             raise ValueError("Some cells have no counts mapping")
         return
@@ -113,6 +133,8 @@ def _validate_counts(Y, sparse: bool) -> None:
             raise ValueError("gene_expression_data contains NaN/inf values")
         if (c < 0).any():
             raise ValueError("gene_expression_data must be non-negative raw counts")
+        if check_finite and not allow_fractional and np.any(c != np.trunc(c)):
+            raise ValueError(_FRACTIONAL_MSG)
         if (c.sum(axis=1, dtype=np.float64) == 0).any():
             zero_cell = True
     if zero_cell:
@@ -235,9 +257,18 @@ def setup_fit(
     data_init_mu=True,
     y_storage: Optional[str] = "auto",
     likelihood_impl: str = "auto",
+    allow_fractional: bool = False,
 ) -> FitContext:
     """Input parsing + filtering + device data prep
-    (reference R/clonealign.R:206-260 and R/inference-tflow.R:111-235)."""
+    (reference R/clonealign.R:206-260 and R/inference-tflow.R:111-235).
+
+    ``allow_fractional=False`` (default) rejects float inputs with
+    fractional values — the model is a count likelihood and the reference's
+    API shape (the counts assay, reference R/clonealign.R:212-224) makes
+    feeding normalized data impossible there; here a scanpy-normalized
+    ``adata.X`` would otherwise silently produce a wrong fit. Set True to
+    opt into fitting fractional values (they flow through the float
+    likelihood path unchanged)."""
     if verbose:
         print("Constructing model")  # reference R/inference-tflow.R:102-104
     Y, gene_names, _cell_names = _parse_expression(gene_expression_data)
@@ -278,7 +309,7 @@ def setup_fit(
         and Y.dtype.itemsize <= 2
     )
     if not device_validated:
-        _validate_counts(Y, sparse_input)
+        _validate_counts(Y, sparse_input, allow_fractional=allow_fractional)
     if K > 0 and N < 2:
         raise ValueError(
             "At least 2 cells are required when K > 0 (the PCA initialization "
@@ -506,6 +537,7 @@ def clonealign(
     progress: bool = False,
     y_storage: Optional[str] = "auto",
     likelihood_impl: str = "auto",
+    allow_fractional: bool = False,
     loop_impl: str = "while",
     unroll: int = 1,
     remat="auto",
@@ -535,6 +567,7 @@ def clonealign(
         data_init_mu=data_init_mu,
         y_storage=y_storage,
         likelihood_impl=likelihood_impl,
+        allow_fractional=allow_fractional,
     )
 
     if key is None:

@@ -127,7 +127,8 @@ def multirun_calls_device(gamma_logits, threshold):
     """Threshold-argmax clone calls for EVERY restart lane in one device
     program: softmax -> (argmax, max) -> threshold (NaN rows read
     unassigned, same guard as :func:`clone_assignment`), plus per-lane
-    per-label counts. Replaces a host pass that fetched the full
+    per-label counts. Used by ``run_clonealign``'s multirun_info loop
+    (restarts.py); replaces a host pass that fetched the full
     (R, N, C) softmax (36 MB at the 100k x 5k x 10 headline — measured
     1.8 s of tunnel fetch plus ~1 s of host argmax/unique per
     benchmarks/results_tpu_r4.jsonl out_of_box_phase_attribution) with a
@@ -175,10 +176,32 @@ def compute_correlations(Y, L, clones, clone_names, device_Y=None, clones_idx=No
     and Y may be a scipy sparse matrix (no densification). Pass the
     device-resident count matrix as ``device_Y`` (the fit drivers do) and
     that one pass runs on the accelerator (:func:`_clone_sums_device`)
-    instead of the host."""
+    instead of the host.
+
+    ``clones_idx`` is the integer form of ``clones`` (values in ``0..C-1``;
+    anything else — ``-1`` or ``C`` — reads unassigned). When given,
+    ``clones`` is ignored (pass None); the multi-restart driver feeds the
+    device-computed calls from :func:`multirun_calls_device` here without
+    ever materializing R x N label strings on the host."""
     L = np.asarray(L, np.float64)
-    clones = np.asarray([str(c) for c in clones], dtype=object)
-    keep = clones != UNASSIGNED
+    C = len(clone_names)
+    if device_Y is not None and str(device_Y.dtype) == "bfloat16":
+        # bfloat16 storage is opt-in and LOSSY above 256: the stored counts
+        # are rounded, so QC sums from the device matrix could differ from
+        # the exact host path. Fall back to the host pass (all integer /
+        # f32 storages remain device-side and exact).
+        device_Y = None
+    if clones_idx is not None:
+        idx_all = np.asarray(clones_idx)
+        keep = (idx_all >= 0) & (idx_all < C)
+        idx_full = np.where(keep, idx_all, -1)
+    else:
+        clones = np.asarray([str(c) for c in clones], dtype=object)
+        keep = clones != UNASSIGNED
+        col_idx = {str(c): i for i, c in enumerate(clone_names)}
+        idx_full = np.asarray(
+            [col_idx[c] if k else -1 for c, k in zip(clones, keep)]
+        )
     sparse = _is_scipy_sparse(Y)
     # CSR up front: COO and friends do not support row masking. Dense inputs
     # are NOT masked/copied here — the chunked accumulation below applies the
@@ -191,14 +214,8 @@ def compute_correlations(Y, L, clones, clone_names, device_Y=None, clones_idx=No
     if M < 2:
         return np.full(G, np.nan)
 
-    col_idx = {str(c): i for i, c in enumerate(clone_names)}
-    C = len(clone_names)
-
     # per-gene sums of y and y^2, and per-(clone, gene) sums of y
     if device_Y is not None:
-        idx_full = np.asarray(
-            [col_idx[c] if k else -1 for c, k in zip(clones, keep)]
-        )
         m = np.bincount(idx_full[keep], minlength=C).astype(np.float64)
         S, sum_y, sum_y2 = _clone_sums_device(device_Y, idx_full, C)
         # Cancellation guard: var_y = sum_y2 - sum_y^2/M subtracts two
@@ -224,7 +241,7 @@ def compute_correlations(Y, L, clones, clone_names, device_Y=None, clones_idx=No
                 sel = ib == c
                 S[c, suspect] = cols[sel].sum(axis=0) if sel.any() else 0.0
     elif sparse:
-        idx = np.asarray([col_idx[c] for c in clones[keep]])
+        idx = idx_full[keep]
         m = np.bincount(idx, minlength=C).astype(np.float64)  # cells per clone
         Y = Y.astype(np.float64)
         sum_y = np.asarray(Y.sum(axis=0)).ravel()
@@ -237,9 +254,6 @@ def compute_correlations(Y, L, clones, clone_names, device_Y=None, clones_idx=No
         SY = ind @ Y
         S = np.asarray(SY.todense() if sp.issparse(SY) else SY)
     else:
-        idx_full = np.asarray(
-            [col_idx[c] if k else -1 for c, k in zip(clones, keep)]
-        )
         m = np.bincount(idx_full[keep], minlength=C).astype(np.float64)
         sum_y = np.zeros(G)
         sum_y2 = np.zeros(G)

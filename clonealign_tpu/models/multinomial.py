@@ -407,6 +407,16 @@ def _host_check_lossless(c, wire_np, store_dt):
             f"y_storage={store_dt.name} cannot hold the largest "
             f"count ({cmax:.0f} > {info.max}); use int16/bfloat16/float32"
         )
+    # Both wrap directions must be closed BEFORE the downcast: a host count
+    # below the wire's lower bound (e.g. int16 -129 into an int8 wire) wraps
+    # POSITIVE, so the post-upload device min guard would see +127 and pass
+    # (round-5 advisor finding). Valid counts are non-negative, so rejecting
+    # negatives (same message as the device check) bounds below; the max
+    # check above bounds above.
+    if c.size and float(c.min()) < 0:
+        raise ValueError(
+            "gene_expression_data must be non-negative raw counts"
+        )
     if np.issubdtype(c.dtype, np.floating) and c.size and np.any(c != np.trunc(c)):
         raise ValueError(
             "integer y_storage requires integer counts; found fractional values"

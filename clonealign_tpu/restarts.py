@@ -244,16 +244,23 @@ def run_clonealign(
         multirun_correlations = True
     prevalences = []
     median_correlations = []
-    all_gamma = np.asarray(jax.nn.softmax(results.params.gamma_logits, axis=-1))
+    # Clone calls for all R lanes in ONE device program (softmax -> threshold
+    # -> argmax -> per-label counts): the fetch is an (R, N) int32 + the
+    # (R, C+1) counts instead of the full (R, N, C) softmax — 36 MB and
+    # ~1.8 s of tunnel fetch plus ~1 s of host argmax/unique at the headline
+    # scale (benchmarks/results_tpu_r4.jsonl out_of_box_phase_attribution).
+    called, counts = _assign.multirun_calls_device(
+        results.params.gamma_logits, clone_call_probability
+    )
+    labels_all = [str(c) for c in ctx.clone_names] + [_assign.UNASSIGNED]
     for r in range(R):
-        clones_r = _assign.clone_assignment(
-            all_gamma[r], ctx.clone_names, clone_call_probability
+        prevalences.append(
+            {labels_all[i]: int(n) for i, n in enumerate(counts[r]) if n}
         )
-        labels, counts = np.unique(np.asarray(clones_r, object), return_counts=True)
-        prevalences.append(dict(zip([str(l) for l in labels], counts.tolist())))
         if multirun_correlations:
             corr_r = _assign.compute_correlations(
-                ctx.Y, ctx.L, clones_r, ctx.clone_names, device_Y=ctx.data.Y
+                ctx.Y, ctx.L, None, ctx.clone_names,
+                device_Y=ctx.data.Y, clones_idx=called[r],
             )
             finite = corr_r[np.isfinite(corr_r)]
             median_correlations.append(float(np.median(finite)) if finite.size else np.nan)

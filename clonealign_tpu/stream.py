@@ -306,6 +306,7 @@ def fit_streaming(
     window_size: int = 10,
     n_final_elbo_samples: int = 20,
     mesh=None,
+    allow_fractional: bool = False,
 ) -> ClonealignFit:
     """:func:`~clonealign_tpu.clonealign` for count matrices larger than
     device memory — same model, same optimizer, same parameter surface
@@ -373,7 +374,10 @@ def fit_streaming(
     src = _RowSource(Y, keep_cols)
     G = src.shape[1]
 
-    _validate_counts(Y if sparse_input else src, sparse_input)
+    _validate_counts(
+        Y if sparse_input else src, sparse_input,
+        allow_fractional=allow_fractional,
+    )
     if K > 0 and N < 2:
         raise ValueError(
             "At least 2 cells are required when K > 0 (the PCA initialization "

@@ -337,7 +337,7 @@ def test_size_factors_accumulate_in_float64():
     Y = np.full((4, G), 0.1, np.float32)
     Y[:, 0] = rng.integers(1, 5, size=4)  # keep rows distinct/nonzero
     L = np.asarray(rng.integers(1, 4, size=(G, 2)), np.float64)
-    fit = clonealign(Y, L, max_iter=2, verbose=False)
+    fit = clonealign(Y, L, max_iter=2, verbose=False, allow_fractional=True)
     expect = Y.astype(np.float64).sum(axis=1)
     np.testing.assert_allclose(fit.ml_params["s"], expect, rtol=1e-12)
 

@@ -1,0 +1,194 @@
+"""Round-5 correctness fixes.
+
+1. Negative counts must be rejected BEFORE any host wire downcast — a count
+   below the wire dtype's lower bound (e.g. int16 -129 into the auto-selected
+   int8 wire) would otherwise wrap positive and pass the post-upload device
+   min guard (advisor finding, round 4).
+2. ``compute_correlations(clones_idx=...)`` / ``multirun_calls_device`` are
+   the device-side multirun path (restarts.py) — they must match the string/
+   host path exactly.
+3. bfloat16 ``device_Y`` storage is lossy above 256, so correlation QC falls
+   back to the exact host pass.
+4. Fractional float "counts" (normalized data) are rejected with a named fix
+   unless ``allow_fractional=True`` (the reference's API shape makes this
+   mistake impossible — it takes the counts assay, R/clonealign.R:212-224).
+"""
+
+import numpy as np
+import pytest
+
+import clonealign_tpu as ca
+from clonealign_tpu import api as _api
+from clonealign_tpu.assign import (
+    clone_assignment,
+    compute_correlations,
+    multirun_calls_device,
+)
+
+
+def _toy(N=60, G=24, C=3, seed=0):
+    rng = np.random.default_rng(seed)
+    L = rng.integers(1, 4, size=(G, C)).astype(np.float64)
+    z = rng.integers(0, C, size=N)
+    rates = L[:, z].T * rng.uniform(0.5, 2.0, size=G)[None, :]
+    Y = rng.poisson(rates * 3.0).astype(np.int16)
+    Y[Y.sum(axis=1) == 0, 0] = 1
+    return Y, L
+
+
+# --- 1. negative-count wrap through the wire downcast ----------------------
+
+def test_negative_count_rejected_before_int8_wire_small_path():
+    Y, L = _toy()
+    Y[0, 0] = -129  # wraps to +127 under a silent int16 -> int8 cast
+    with pytest.raises(ValueError, match="non-negative raw counts"):
+        _api.setup_fit(Y, L, verbose=False)
+
+
+def test_negative_count_rejected_chunked_path(monkeypatch):
+    from clonealign_tpu.models import multinomial as mm
+
+    Y, L = _toy()
+    Y[3, 1] = -129
+    # force the row-chunked prepare path at toy size
+    monkeypatch.setattr(mm, "_CHUNK_ELEMENTS", 128)
+    with pytest.raises(ValueError, match="non-negative raw counts"):
+        _api.setup_fit(Y, L, verbose=False)
+
+
+def test_negative_count_rejected_prepare_data_direct():
+    from clonealign_tpu.models import multinomial as mm
+    import jax.numpy as jnp
+
+    Y, L = _toy()
+    Y[2, 2] = -300
+    with pytest.raises(ValueError, match="non-negative raw counts"):
+        mm.prepare_data(Y, L, y_storage=jnp.int8)
+
+
+# --- 2. device multirun calls == host path ---------------------------------
+
+def test_multirun_calls_device_matches_host():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    R, N, C = 4, 50, 3
+    logits = rng.normal(size=(R, N, C)).astype(np.float32) * 4.0
+    logits[1, 5] = np.nan  # diverged lane row -> unassigned
+    names = ["a", "b", "c"]
+    called, counts = multirun_calls_device(jnp.asarray(logits), 0.8)
+    for r in range(R):
+        import jax
+
+        probs = np.asarray(jax.nn.softmax(jnp.asarray(logits[r]), axis=1))
+        host = clone_assignment(probs, names, 0.8)
+        dev = [(names + ["unassigned"])[i] for i in called[r]]
+        assert host == dev
+        labels, n = np.unique(np.asarray(host, object), return_counts=True)
+        host_counts = dict(zip([str(l) for l in labels], n.tolist()))
+        dev_counts = {
+            (names + ["unassigned"])[i]: int(c)
+            for i, c in enumerate(counts[r])
+            if c
+        }
+        assert host_counts == dev_counts
+
+
+def test_compute_correlations_clones_idx_matches_strings():
+    Y, L = _toy()
+    names = ["a", "b", "c"]
+    rng = np.random.default_rng(2)
+    idx = rng.integers(-1, 3, size=Y.shape[0])  # -1 = unassigned
+    clones = [(names[i] if i >= 0 else "unassigned") for i in idx]
+    ref = compute_correlations(Y, L, clones, names)
+    via_idx = compute_correlations(Y, L, None, names, clones_idx=idx)
+    np.testing.assert_array_equal(np.isnan(ref), np.isnan(via_idx))
+    np.testing.assert_allclose(
+        ref[np.isfinite(ref)], via_idx[np.isfinite(via_idx)], rtol=1e-12
+    )
+    # C as the unassigned sentinel (multirun_calls_device's convention)
+    via_c = compute_correlations(
+        Y, L, None, names, clones_idx=np.where(idx < 0, 3, idx)
+    )
+    np.testing.assert_allclose(
+        ref[np.isfinite(ref)], via_c[np.isfinite(via_c)], rtol=1e-12
+    )
+
+
+def test_run_clonealign_multirun_info_device_path():
+    """End-to-end: prevalences/medians via the device calls path."""
+    Y, L = _toy(N=80, G=30)
+    fit = ca.run_clonealign(
+        Y, L, initial_shrinks=(5,), n_repeats=2, max_iter=8,
+        verbose=False, print_elbos=False, seed=0,
+    )
+    info = fit.multirun_info
+    assert len(info["clone_prevalences_at_different_shrinks"]) == 2
+    for tab in info["clone_prevalences_at_different_shrinks"]:
+        assert sum(tab.values()) == Y.shape[0]
+        assert all(isinstance(v, int) for v in tab.values())
+    assert len(info["median_correlations"]) == 2
+    assert np.isfinite(info["median_correlations"]).any()
+
+
+# --- 3. bfloat16 device_Y falls back to the exact host pass ----------------
+
+def test_bf16_device_y_falls_back_to_host():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    N, G, C = 40, 8, 2
+    # counts > 256 so bf16 rounding actually bites
+    Y = rng.integers(200, 2000, size=(N, G)).astype(np.float64)
+    L = rng.integers(1, 4, size=(G, C)).astype(np.float64)
+    clones = ["a" if i % 2 else "b" for i in range(N)]
+    exact = compute_correlations(Y, L, clones, ["a", "b"])
+    via_bf16 = compute_correlations(
+        Y, L, clones, ["a", "b"], device_Y=jnp.asarray(Y, jnp.bfloat16)
+    )
+    np.testing.assert_allclose(
+        exact[np.isfinite(exact)], via_bf16[np.isfinite(via_bf16)], rtol=1e-12
+    )
+
+
+# --- 4. raw-counts contract --------------------------------------------------
+
+def test_fractional_counts_rejected_dense():
+    Y, L = _toy()
+    Yn = np.log1p(Y.astype(np.float64))  # "lognormalized" data
+    with pytest.raises(ValueError, match="raw integer counts"):
+        ca.clonealign(Yn, L, max_iter=2, verbose=False)
+
+
+def test_fractional_counts_rejected_sparse():
+    sp = pytest.importorskip("scipy.sparse")
+    Y, L = _toy()
+    Yn = sp.csr_matrix(np.log1p(Y.astype(np.float64)))
+    with pytest.raises(ValueError, match="raw integer counts"):
+        _api.setup_fit(Yn, L, verbose=False)
+
+
+def test_fractional_counts_allowed_with_escape_hatch():
+    Y, L = _toy(N=40, G=16)
+    Yn = Y.astype(np.float64) * 1.5  # fractional but valid non-negative
+    fit = ca.clonealign(
+        Yn, L, max_iter=3, verbose=False, allow_fractional=True
+    )
+    assert len(fit.clone) == 40
+
+
+def test_integer_valued_floats_still_accepted():
+    Y, L = _toy(N=40, G=16)
+    fit = ca.clonealign(Y.astype(np.float64), L, max_iter=3, verbose=False)
+    assert len(fit.clone) == 40
+
+
+def test_fractional_counts_rejected_streaming():
+    from clonealign_tpu.stream import fit_streaming
+
+    Y, L = _toy(N=40, G=16)
+    with pytest.raises(ValueError, match="raw integer counts"):
+        fit_streaming(
+            np.log1p(Y.astype(np.float64)), L, max_iter=2,
+            chunk_cells=16, verbose=False,
+        )
