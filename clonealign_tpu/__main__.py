@@ -18,7 +18,14 @@ import numpy as np
 
 
 def _load_counts(path: str, transpose: bool):
-    """Counts from .mtx[.gz], a CellRanger dir, .npz (key 'counts'), or CSV.
+    """Counts from .mtx[.gz], a CellRanger dir, .h5ad, 10x .h5, .npz (key
+    'counts'), or CSV.
+
+    Sparse formats (.mtx, .h5ad/.h5 with sparse groups) stay scipy-sparse
+    and every format keeps its on-disk dtype — peak host memory is nnz-bound
+    for sparse inputs (an N x G float64 densification here once cost 4 GB at
+    100k x 5k; the library ingestion is engineered around exactly that,
+    api._parse_expression / prepare_data_sparse).
 
     ``transpose`` applies to every format (the file is genes x cells);
     CellRanger directories are already transposed to cells x genes by their
@@ -31,9 +38,14 @@ def _load_counts(path: str, transpose: bool):
 
         Y, gene_names, cell_names = load_cellranger_dir(path)
     elif path.endswith((".mtx", ".mtx.gz")):
+        import scipy.sparse as sp
+
         from .io.mtx import read_mtx
 
-        Y = read_mtx(path, dense=True, transpose=transpose)
+        coo = read_mtx(path, dense=False, transpose=transpose)
+        Y = sp.coo_matrix(
+            (coo.vals, (coo.rows, coo.cols)), shape=coo.shape
+        ).tocsr()
         transpose = False  # consumed by the reader
     elif path.endswith(".h5ad"):
         from .io.h5 import read_h5ad
@@ -54,9 +66,8 @@ def _load_counts(path: str, transpose: bool):
             cell_names = [str(c) for c in z["cell_names"]]
     else:
         Y = np.loadtxt(path, delimiter=",", skiprows=0)
-    Y = np.asarray(Y, np.float64)
     if transpose:
-        Y = Y.T
+        Y = Y.T  # scipy transpose is a view-flip, dense is a view
         gene_names, cell_names = cell_names, gene_names
     return Y, gene_names, cell_names
 

@@ -284,18 +284,6 @@ def setup_fit(
 
     sparse_input = _is_scipy_sparse(Y)
 
-    # --- gene filtering (reference R/inference-tflow.R:117-131) ---
-    low = _colsum_f64(Y, sparse_input) <= gene_filter_threshold
-    if verbose and low.any():
-        print(f"Removing {int(low.sum())} genes with low counts")
-    if low.any():  # no-copy fast path when nothing is filtered
-        Y = Y[:, ~low]
-    L = L[~low]
-    if gene_names is not None:
-        retained_genes = [g for g, drop in zip(gene_names, low) if not drop]
-    else:
-        retained_genes = list(np.flatnonzero(~low))
-
     # For dense <=16-bit integer matrices the host validation pass is
     # redundant: integers cannot be NaN/inf, the table-stats programs in
     # prepare_data enforce non-negativity on device (min count), and the
@@ -308,6 +296,28 @@ def setup_fit(
         and np.issubdtype(Y.dtype, np.integer)
         and Y.dtype.itemsize <= 2
     )
+
+    # --- gene filtering (reference R/inference-tflow.R:117-131) ---
+    # On the device-validated path the filter statistic comes from the
+    # device stats pass that prepare_data runs anyway (colsum_Y), so the
+    # host colsum pass here is skipped too — see the deferred branch below.
+    # (Device totals are exact for this decision: partial sums of
+    # non-negative integers never exceed the total, f32 is exact below 2^24,
+    # and a total large enough to round is far above any threshold the gate
+    # admits.)
+    defer_filter = device_validated and float(gene_filter_threshold) < 2.0**24
+    if not defer_filter:
+        low = _colsum_f64(Y, sparse_input) <= gene_filter_threshold
+        if verbose and low.any():
+            print(f"Removing {int(low.sum())} genes with low counts")
+        if low.any():  # no-copy fast path when nothing is filtered
+            Y = Y[:, ~low]
+        L = L[~low]
+        if gene_names is not None:
+            retained_genes = [g for g, drop in zip(gene_names, low) if not drop]
+        else:
+            retained_genes = list(np.flatnonzero(~low))
+
     if not device_validated:
         _validate_counts(Y, sparse_input, allow_fractional=allow_fractional)
     if K > 0 and N < 2:
@@ -352,16 +362,6 @@ def setup_fit(
             "likelihood_impl must be one of 'auto', 'xla', "
             f"'z_cheb'; got {likelihood_impl!r}"
         )
-    if likelihood_impl == "auto":
-        likelihood_impl = _resolve_auto_impl(
-            K, P, mc_samples, jdtype, int(Y.shape[0]) * int(Y.shape[1])
-        )
-    config = mm.ModelConfig(
-        K=K, P=P, mc_samples=int(mc_samples), fix_alpha=fix_alpha,
-        likelihood_impl=likelihood_impl,
-    )
-    if likelihood_impl == "z_cheb":
-        mm._use_z_cheb(config)  # validate K/P eagerly with a clear error
     # int16/int8 store counts EXACTLY (bf16 rounds above 256) and are the
     # fastest options (docs/design.md section 2); prepare_data raises if any
     # count would overflow the range. "auto" picks the narrowest exact
@@ -382,6 +382,39 @@ def setup_fit(
     if storage == "auto":
         storage = _auto_y_storage(Y.data if sparse_input else Y)
     data = mm.prepare_data(Y, L, x=x, dtype=jdtype, y_storage=storage)
+
+    if defer_filter:
+        # The per-gene totals fell out of the device stats pass; apply the
+        # filter decision now. Common case (nothing filtered): the prepared
+        # data IS the final data and the host never ran a colsum pass. Rare
+        # case: gather the kept columns ON DEVICE and rerun the (fast,
+        # device-side) stats — the wire pass is never repeated.
+        low = np.asarray(data.colsum_Y, np.float64) <= gene_filter_threshold
+        if low.any():
+            if verbose:
+                print(f"Removing {int(low.sum())} genes with low counts")
+            keep = np.flatnonzero(~low)
+            Y = Y[:, ~low]  # host copy for the QC fallbacks (ctx.Y)
+            L = L[~low]
+            Yd = jnp.take(data.Y, jnp.asarray(keep, jnp.int32), axis=1)
+            del data
+            data = mm.prepare_data(Yd, L, x=x, dtype=jdtype, y_storage=storage)
+        if gene_names is not None:
+            retained_genes = [g for g, drop in zip(gene_names, low) if not drop]
+        else:
+            retained_genes = list(np.flatnonzero(~low))
+
+    if likelihood_impl == "auto":
+        likelihood_impl = _resolve_auto_impl(
+            K, P, mc_samples, jdtype, int(Y.shape[0]) * int(Y.shape[1])
+        )
+    config = mm.ModelConfig(
+        K=K, P=P, mc_samples=int(mc_samples), fix_alpha=fix_alpha,
+        likelihood_impl=likelihood_impl,
+    )
+    if likelihood_impl == "z_cheb":
+        mm._use_z_cheb(config)  # validate K/P eagerly with a clear error
+
     if device_validated and float(jnp.min(data.s)) == 0:
         raise ValueError(
             "Some cells have no counts mapping"

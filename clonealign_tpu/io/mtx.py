@@ -146,9 +146,13 @@ def read_mtx(path: str, dense: bool = True, transpose: bool = False):
     return COOMatrix(ri[:k], ci[:k], vv[:k], (rows, cols))
 
 
-def load_cellranger_dir(path: str, transpose: bool = True):
+def load_cellranger_dir(path: str, transpose: bool = True, dense: bool = False):
     """Load a CellRanger-style directory (matrix.mtx[.gz], features/genes.tsv,
-    barcodes.tsv). Returns (Y cells-by-genes, gene_ids, barcodes)."""
+    barcodes.tsv). Returns (Y cells-by-genes, gene_ids, barcodes).
+
+    ``Y`` is a scipy CSR matrix by default (the fit path's ingestion is
+    nnz-bound — scRNA counts are >90% zeros, so densifying here would
+    multiply host memory ~20x); pass ``dense=True`` for a float64 ndarray."""
 
     def find(*names):
         for nm in names:
@@ -161,7 +165,15 @@ def load_cellranger_dir(path: str, transpose: bool = True):
     mtx = find("matrix.mtx")
     if mtx is None:
         raise FileNotFoundError(f"no matrix.mtx[.gz] in {path}")
-    Y = read_mtx(mtx, dense=True, transpose=transpose)  # genes-major on disk
+    if dense:
+        Y = read_mtx(mtx, dense=True, transpose=transpose)  # genes-major on disk
+    else:
+        import scipy.sparse as sp
+
+        coo = read_mtx(mtx, dense=False, transpose=transpose)
+        Y = sp.coo_matrix(
+            (coo.vals, (coo.rows, coo.cols)), shape=coo.shape
+        ).tocsr()
 
     def read_tsv_col(p, col=0):
         if p is None:

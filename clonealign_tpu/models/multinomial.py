@@ -485,13 +485,36 @@ def _block_stats_table(Yw, table, log_L_safe, zero_cols, i, block: int):
     return s, lb, B, cs, mx, jnp.zeros((), dtype), mn
 
 
+def _prefetched(idxs, make):
+    """Yield ``make(i)`` for each index with ONE-AHEAD prefetch: chunk i+1 is
+    prepared on a worker thread while the caller uploads/processes chunk i.
+    The host work per chunk — bounds-check scan + the wire-dtype copy
+    (``_host_chunk``) — is numpy, which releases the GIL, so it genuinely
+    overlaps the in-flight ``device_put`` (the uploads were measured strictly
+    serial with the host prep before this: prepare_data 23.4 s against a
+    13.1 s bare-put floor at 100k x 5k, benchmarks setup_phases probe r4).
+    Exceptions from ``make`` (range/integrality validation) surface on the
+    consuming side before that chunk is uploaded, exactly as in the serial
+    loop."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(make, idxs[0])
+        for j in range(len(idxs)):
+            c = fut.result()
+            if j + 1 < len(idxs):
+                fut = ex.submit(make, idxs[j + 1])
+            yield c
+
+
 def _prepare_data_dense_chunked(Y, L, x=None, dtype=jnp.float32, y_storage=None):
     """Row-chunked version of the dense prepare path (same outputs; see
     prepare_data). Statistics stream through the device one chunk at a time,
     and the device-resident Y is built directly in the storage dtype — peak
     device memory is O(chunk x G) + N x G x storage_bytes instead of two
     full-precision copies. If ``Y`` is already a device array in the storage
-    dtype it is used as-is (zero-copy)."""
+    dtype it is used as-is (zero-copy). Host chunk preparation is
+    double-buffered against the device transfers (:func:`_prefetched`)."""
     N, G = Y.shape
     L = jnp.asarray(L, dtype)
     log_L_safe = jnp.where(L > 0, jnp.log(jnp.where(L > 0, L, 1.0)), 0.0)
@@ -534,7 +557,10 @@ def _prepare_data_dense_chunked(Y, L, x=None, dtype=jnp.float32, y_storage=None)
         if isinstance(Y, jax.Array):
             Yw = Y  # stats read it in place
         else:
-            y_parts = [jnp.asarray(_host_chunk(i)) for i in range(0, N, chunk)]
+            y_parts = [
+                jnp.asarray(c)
+                for c in _prefetched(list(range(0, N, chunk)), _host_chunk)
+            ]
             Yw = (
                 jnp.concatenate(y_parts, axis=0) if len(y_parts) > 1 else y_parts[0]
             )
@@ -596,8 +622,8 @@ def _prepare_data_dense_chunked(Y, L, x=None, dtype=jnp.float32, y_storage=None)
         colsum = jnp.zeros((G,), dtype)
         ymax = -np.inf
         max_nonint = 0.0
-        for i in range(0, N, chunk):
-            yc = jnp.asarray(_host_chunk(i))
+        for hc in _prefetched(list(range(0, N, chunk)), _host_chunk):
+            yc = jnp.asarray(hc)
             if table is not None:
                 s_c, lb_c, B_c, cs, mx_c, ni_c, mn_c = _chunk_stats_table(
                     yc, table, log_L_safe, zero_cols

@@ -184,8 +184,11 @@ def assign_cells(
       (clones, clone_probs): list of labels and the (N_new, C) posterior.
     """
     from .api import _parse_copy_number
+    from .utils.sparsity import is_scipy_sparse as _is_sparse
 
-    Y_new = np.asarray(Y_new)
+    sparse = _is_sparse(Y_new)
+    if not sparse:
+        Y_new = np.asarray(Y_new)
     G = len(fit.ml_params["mu"])
     if Y_new.ndim != 2 or Y_new.shape[1] != G:
         raise ValueError(
@@ -213,7 +216,16 @@ def assign_cells(
     alpha = np.asarray(fit.ml_params["alpha"], np.float64)
     log_alpha = jnp.asarray(np.log(alpha / alpha.sum()), jnp.float32)
 
-    Yd = jnp.asarray(Y_new.astype(_narrowest_exact(Y_new)))
+    if sparse:
+        # device needs it dense (the posterior is two matmuls); assemble the
+        # dense copy directly ON DEVICE in the narrow dtype from row chunks,
+        # so the host never holds an N x G densification
+        from .utils.sparsity import device_dense_from_sparse_rows
+
+        store = _narrowest_exact(Y_new.data)  # zeros are in-range for any dtype
+        Yd = device_dense_from_sparse_rows(Y_new.tocsr(), np.dtype(store))
+    else:
+        Yd = jnp.asarray(Y_new.astype(_narrowest_exact(Y_new)))
     Ld = jnp.asarray(L, jnp.float32)
     if refine:
         lp = _posterior_log_probs_refined(

@@ -48,7 +48,10 @@ def test_h5ad_roundtrip(tmp_path, dense, sparse):
     p = str(tmp_path / "t.h5ad")
     _write_h5ad(p, dense, sparse=sparse)
     cm = read_h5ad(p)
-    np.testing.assert_array_equal(cm.counts, dense)
+    # sparse X stays scipy-sparse (nnz-bound host memory), dense stays dense
+    assert sp.issparse(cm.counts) == sparse
+    got = cm.counts.toarray() if sparse else cm.counts
+    np.testing.assert_array_equal(got, dense)
     assert cm.cell_names[0] == "cell0" and cm.gene_names[-1] == "gene19"
 
 
@@ -74,7 +77,8 @@ def test_10x_h5_roundtrip(tmp_path, dense):
         feat = g.create_group("features")
         feat["id"] = np.array([f"ENSG{j}".encode() for j in range(dense.shape[1])])
     cm = read_10x_h5(p)
-    np.testing.assert_array_equal(cm.counts, dense)
+    assert sp.issparse(cm.counts)  # memory-lean: stays CSR
+    np.testing.assert_array_equal(cm.counts.toarray(), dense)
     assert cm.gene_names[0] == "ENSG0" and cm.cell_names[0] == "BC0"
 
 
@@ -101,7 +105,8 @@ def test_h5ad_csc_encoding(tmp_path, dense):
         g["indices"] = m.indices
         g["indptr"] = m.indptr
     cm = read_h5ad(p)
-    np.testing.assert_array_equal(cm.counts, dense)
+    assert sp.issparse(cm.counts)
+    np.testing.assert_array_equal(cm.counts.toarray(), dense)
 
 
 def test_10x_h5_legacy_per_genome_group(tmp_path, dense):
@@ -116,7 +121,7 @@ def test_10x_h5_legacy_per_genome_group(tmp_path, dense):
         g["genes"] = np.array([f"ENSG{j}".encode() for j in range(dense.shape[1])])
         g["barcodes"] = np.array([f"BC{i}".encode() for i in range(dense.shape[0])])
     cm = read_10x_h5(p)
-    np.testing.assert_array_equal(cm.counts, dense)
+    np.testing.assert_array_equal(cm.counts.toarray(), dense)
     assert cm.gene_names[1] == "ENSG1"
 
 
@@ -160,4 +165,84 @@ def test_h5ad_legacy_h5sparse_shape(tmp_path):
         g.create_dataset("indices", data=Y.indices)
         g.create_dataset("indptr", data=Y.indptr)
     cm = read_h5ad(p)
-    np.testing.assert_array_equal(cm.counts, Y.toarray())
+    np.testing.assert_array_equal(cm.counts.toarray(), Y.toarray())
+
+
+def test_h5ad_categorical_index(tmp_path, dense):
+    """anndata >= 0.8 writes categorical obs/var index columns as groups
+    with 'categories' + 'codes'."""
+    p = str(tmp_path / "cat.h5ad")
+    with h5py.File(p, "w") as f:
+        f["X"] = dense
+        var = f.create_group("var")
+        var.attrs["_index"] = "gene_id"
+        gi = var.create_group("gene_id")
+        gi["categories"] = np.array([f"g{j}".encode() for j in range(dense.shape[1])])
+        gi["codes"] = np.arange(dense.shape[1], dtype=np.int8)
+        obs = f.create_group("obs")
+        obs.attrs["_index"] = "cell_id"
+        obs["cell_id"] = np.array([f"c{i}".encode() for i in range(dense.shape[0])])
+    cm = read_h5ad(p)
+    assert cm.gene_names == [f"g{j}" for j in range(dense.shape[1])]
+    assert cm.cell_names[0] == "c0"
+
+
+def test_h5ad_unknown_sparse_encoding_raises(tmp_path, dense):
+    p = str(tmp_path / "bad.h5ad")
+    with h5py.File(p, "w") as f:
+        g = f.create_group("X")
+        g.attrs["encoding-type"] = "coo_matrix"
+        g.attrs["shape"] = dense.shape
+        g["data"] = np.ones(3)
+        g["row"] = np.arange(3)
+        g["col"] = np.arange(3)
+    with pytest.raises(ValueError, match="unsupported sparse encoding"):
+        read_h5ad(p)
+
+
+def test_h5ad_unknown_index_encoding_raises(tmp_path, dense):
+    p = str(tmp_path / "badidx.h5ad")
+    with h5py.File(p, "w") as f:
+        f["X"] = dense
+        var = f.create_group("var")
+        var.attrs["_index"] = "gene_id"
+        gi = var.create_group("gene_id")
+        gi["something_else"] = np.arange(3)
+    with pytest.raises(ValueError, match="unsupported index encoding"):
+        read_h5ad(p)
+
+
+def test_h5ad_preserves_on_disk_dtype(tmp_path):
+    """No float64 widening: int32 counts stay int32 (sparse and dense)."""
+    rng = np.random.default_rng(5)
+    X = rng.poisson(1.0, (10, 6)).astype(np.int32)
+    p = str(tmp_path / "i32.h5ad")
+    with h5py.File(p, "w") as f:
+        f["X"] = X
+    assert read_h5ad(p).counts.dtype == np.int32
+    p2 = str(tmp_path / "i32s.h5ad")
+    with h5py.File(p2, "w") as f:
+        m = sp.csr_matrix(X)
+        g = f.create_group("X")
+        g.attrs["encoding-type"] = "csr_matrix"
+        g.attrs["shape"] = X.shape
+        g["data"] = m.data  # int32
+        g["indices"] = m.indices
+        g["indptr"] = m.indptr
+    cm = read_h5ad(p2)
+    assert cm.counts.dtype == np.int32
+
+
+def test_h5ad_undeclared_sparse_layout_inferred(tmp_path, dense):
+    """data/indices/indptr with a shape attr but NO encoding attrs: inferred
+    from the indptr length (CSR indptr has n_obs+1 entries)."""
+    p = str(tmp_path / "noenc.h5ad")
+    m = sp.csr_matrix(dense)
+    with h5py.File(p, "w") as f:
+        g = f.create_group("X")
+        g.attrs["shape"] = dense.shape
+        g["data"] = m.data
+        g["indices"] = m.indices
+        g["indptr"] = m.indptr
+    cm = read_h5ad(p)
+    np.testing.assert_array_equal(cm.counts.toarray(), dense)

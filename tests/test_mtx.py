@@ -104,10 +104,15 @@ def test_cellranger_dir(tmp_path, dense):
         for j in range(dense.shape[1]):
             fh.write(f"BC{j:04d}\n")
     Y, genes, barcodes = load_cellranger_dir(str(d))
+    import scipy.sparse as sp
+
+    assert sp.issparse(Y)  # default is memory-lean CSR
     assert Y.shape == (dense.shape[1], dense.shape[0])  # cells x genes
-    np.testing.assert_array_equal(Y, dense.T)
+    np.testing.assert_array_equal(Y.toarray(), dense.T)
     assert genes[0] == "ENSG00000" and len(genes) == dense.shape[0]
     assert barcodes[0] == "BC0000" and len(barcodes) == dense.shape[1]
+    Yd, _, _ = load_cellranger_dir(str(d), dense=True)
+    np.testing.assert_array_equal(Yd, dense.T)
 
 
 def test_large_parallel_path(tmp_path):

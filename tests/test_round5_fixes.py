@@ -192,3 +192,53 @@ def test_fractional_counts_rejected_streaming():
             np.log1p(Y.astype(np.float64)), L, max_iter=2,
             chunk_cells=16, verbose=False,
         )
+
+
+# --- 5. deferred device-side gene filter (int inputs skip the host colsum) --
+
+def test_gene_filter_deferred_matches_host_path():
+    """Integer (<=16-bit) dense inputs resolve the gene filter from the
+    device stats colsum (no host pass); the retained set, fit, and QC must
+    match the float-input host path exactly."""
+    Y, L = _toy(N=70, G=28)
+    Y[:, 5] = 0                      # silent gene -> dropped at threshold 0
+    Y[:, 11] = 0
+    kw = dict(max_iter=6, seed=3, verbose=False)
+    f_int = ca.clonealign(Y, L, **kw)                       # deferred path
+    f_float = ca.clonealign(Y.astype(np.float64), L, **kw)  # host path
+    assert f_int.retained_genes == f_float.retained_genes
+    assert len(f_int.retained_genes) == 26
+    assert f_int.clone == f_float.clone
+    np.testing.assert_allclose(
+        f_int.convergence_info.final_elbo,
+        f_float.convergence_info.final_elbo, rtol=5e-6,
+    )
+    np.testing.assert_allclose(
+        f_int.correlations[np.isfinite(f_int.correlations)],
+        f_float.correlations[np.isfinite(f_float.correlations)], rtol=1e-6,
+    )
+
+
+def test_gene_filter_deferred_nonzero_threshold():
+    Y, L = _toy(N=50, G=20)
+    thr = float(Y.sum(axis=0, dtype=np.float64).mean())
+    f_int = ca.clonealign(Y, L, gene_filter_threshold=thr,
+                          max_iter=4, seed=0, verbose=False)
+    f_float = ca.clonealign(Y.astype(np.float64), L, gene_filter_threshold=thr,
+                            max_iter=4, seed=0, verbose=False)
+    assert f_int.retained_genes == f_float.retained_genes
+    assert 0 < len(f_int.retained_genes) < 20
+
+
+def test_gene_filter_deferred_named_genes():
+    class SCE:
+        pass
+
+    Y, L = _toy(N=50, G=20)
+    Y[:, 7] = 0
+    obj = SCE()
+    obj.counts = Y
+    obj.gene_names = [f"g{j}" for j in range(20)]
+    obj.cell_names = [f"c{i}" for i in range(50)]
+    fit = ca.clonealign(obj, L, max_iter=4, seed=0, verbose=False)
+    assert "g7" not in fit.retained_genes and len(fit.retained_genes) == 19
