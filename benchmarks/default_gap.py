@@ -14,7 +14,7 @@ configurations, so the gap decomposes into measured factors:
 
 All variants: z_cheb likelihood, int8 storage, remat off, shared init —
 the resolved out-of-box model configuration. Appends JSON to
-benchmarks/results_tpu_r4.jsonl with --commit.
+benchmarks/results_tpu_r5.jsonl with --commit.
 """
 
 import json
@@ -96,7 +96,7 @@ def main():
     print(json.dumps(out))
     if "--commit" in sys.argv:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "results_tpu_r4.jsonl")
+                            "results_tpu_r5.jsonl")
         with open(path, "a") as fh:
             fh.write(json.dumps(out) + "\n")
 

@@ -18,7 +18,7 @@ same rows value measures the warm cache instead):
   table_gather   — the shipped fix: log-factorial table + gather
   lgamma_1d_ramp — building the 65536-entry table itself (the 1-D lgamma)
 
-Appends to results_tpu_r4.jsonl with --commit.
+Appends to results_tpu_r5.jsonl with --commit.
 """
 
 import json
@@ -108,7 +108,7 @@ def main():
     print(json.dumps(out))
     if "--commit" in sys.argv:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "results_tpu_r4.jsonl")
+                            "results_tpu_r5.jsonl")
         with open(path, "a") as fh:
             fh.write(json.dumps(out) + "\n")
 

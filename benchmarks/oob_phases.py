@@ -8,7 +8,7 @@ name: setup sub-steps (validate / filter / y-storage scan / device upload),
 the sweep program, result fetch, fit packaging (host-side correlation QC
 over N x G), and the multirun-info loop.
 
-Appends to benchmarks/results_tpu_r4.jsonl with --commit.
+Appends to benchmarks/results_tpu_r5.jsonl with --commit.
 """
 
 import json
@@ -130,7 +130,7 @@ def main():
     print(json.dumps(out))
     if "--commit" in sys.argv:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "results_tpu_r4.jsonl")
+                            "results_tpu_r5.jsonl")
         with open(path, "a") as fh:
             fh.write(json.dumps(out) + "\n")
 

@@ -15,7 +15,7 @@ Reported split:
              (the number comparable to bench.py's tuned sweep time)
   total_s  — end-to-end wall clock of the second call (compile cached)
 
-Appends a JSON line to benchmarks/results_tpu_r4.jsonl when run with
+Appends a JSON line to benchmarks/results_tpu_r5.jsonl when run with
 --commit; prints it always.
 """
 
@@ -116,7 +116,7 @@ def main():
     print(json.dumps(out))
     if "--commit" in sys.argv:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "results_tpu_r4.jsonl")
+                            "results_tpu_r5.jsonl")
         with open(path, "a") as fh:
             fh.write(json.dumps(out) + "\n")
 

@@ -23,7 +23,7 @@ against v5e's ~819 GB/s HBM peak. r3's step_attribution probe only covered
 All timings are in-loop (lax.scan inside ONE jit execution, carried state
 chains the iterations so nothing is CSE'd or memoized; the axon tunnel's
 per-call dispatch and memoization cannot distort them). Data always passed
-as jit arguments. Appends to results_tpu_r4.jsonl with --commit.
+as jit arguments. Appends to results_tpu_r5.jsonl with --commit.
 """
 
 import functools
@@ -236,7 +236,7 @@ def main():
     print(json.dumps(out))
     if "--commit" in sys.argv:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "results_tpu_r4.jsonl")
+                            "results_tpu_r5.jsonl")
         with open(path, "a") as fh:
             fh.write(json.dumps(out) + "\n")
 

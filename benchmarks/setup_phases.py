@@ -12,7 +12,7 @@ candidate fix (uploading Y in the storage dtype instead of float32):
   prepare_data   — chunked upload + on-device stats + int8 downcast
   put_int8/f32   — bare device_put of the same bytes (the link floor)
 
-Appends to results_tpu_r4.jsonl with --commit.
+Appends to results_tpu_r5.jsonl with --commit.
 """
 
 import json
@@ -96,7 +96,7 @@ def main():
     print(json.dumps(out))
     if "--commit" in sys.argv:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "results_tpu_r4.jsonl")
+                            "results_tpu_r5.jsonl")
         with open(path, "a") as fh:
             fh.write(json.dumps(out) + "\n")
 

@@ -48,7 +48,7 @@ from .restarts import run_clonealign
 from .serve import assign_cells
 from .stream import fit_streaming
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "clonealign",

@@ -242,3 +242,30 @@ def test_gene_filter_deferred_named_genes():
     obj.cell_names = [f"c{i}" for i in range(50)]
     fit = ca.clonealign(obj, L, max_iter=4, seed=0, verbose=False)
     assert "g7" not in fit.retained_genes and len(fit.retained_genes) == 19
+
+
+# --- 6. the double-buffered upload helper -----------------------------------
+
+def test_prefetched_preserves_order_and_exceptions():
+    from clonealign_tpu.models.multinomial import _prefetched
+
+    seen = []
+
+    def make(i):
+        seen.append(i)
+        return i * 10
+
+    assert list(_prefetched([0, 1, 2, 3], make)) == [0, 10, 20, 30]
+    assert seen == [0, 1, 2, 3]
+
+    def boom(i):
+        if i == 2:
+            raise ValueError("bad chunk")
+        return i
+
+    out = []
+    with pytest.raises(ValueError, match="bad chunk"):
+        for v in _prefetched([0, 1, 2, 3], boom):
+            out.append(v)
+    # chunks before the bad one were produced; the bad one never yielded
+    assert out == [0, 1]
