@@ -17,7 +17,7 @@ import sys
 import numpy as np
 
 
-def _load_counts(path: str, transpose: bool):
+def _load_counts(path: str, transpose: bool, layer: str = None):
     """Counts from .mtx[.gz], a CellRanger dir, .h5ad, 10x .h5, .npz (key
     'counts'), or CSV.
 
@@ -29,28 +29,31 @@ def _load_counts(path: str, transpose: bool):
 
     ``transpose`` applies to every format (the file is genes x cells);
     CellRanger directories are already transposed to cells x genes by their
-    loader, so the flag flips that too if a non-standard dir is given."""
+    loader, so the flag flips that too if a non-standard dir is given.
+
+    ``layer`` selects ``layers/<name>`` of an .h5ad instead of X — scanpy
+    pipelines usually leave normalized data in X and raw counts in a layer
+    (the fit rejects fractional values pointing here)."""
     import os
 
     gene_names = cell_names = None
+    if layer is not None and not path.endswith(".h5ad"):
+        raise ValueError(
+            f"--layer applies to .h5ad inputs only (got {path!r})"
+        )
     if os.path.isdir(path):
         from .io.mtx import load_cellranger_dir
 
         Y, gene_names, cell_names = load_cellranger_dir(path)
     elif path.endswith((".mtx", ".mtx.gz")):
-        import scipy.sparse as sp
-
         from .io.mtx import read_mtx
 
-        coo = read_mtx(path, dense=False, transpose=transpose)
-        Y = sp.coo_matrix(
-            (coo.vals, (coo.rows, coo.cols)), shape=coo.shape
-        ).tocsr()
+        Y = read_mtx(path, dense=False, transpose=transpose).tocsr()
         transpose = False  # consumed by the reader
     elif path.endswith(".h5ad"):
         from .io.h5 import read_h5ad
 
-        cm = read_h5ad(path)
+        cm = read_h5ad(path, layer=layer)
         Y, gene_names, cell_names = cm.counts, cm.gene_names, cm.cell_names
     elif path.endswith((".h5", ".hdf5")):
         from .io.h5 import read_10x_h5
@@ -122,7 +125,7 @@ def _save_fit(fit, path: str) -> str:
 def cmd_fit(args) -> int:
     from . import clonealign, run_clonealign
 
-    Y, gene_names, _ = _load_counts(args.counts, args.transpose)
+    Y, gene_names, _ = _load_counts(args.counts, args.transpose, args.layer)
     L, clone_names = _load_cnv(args.cnv)
     if clone_names:
         cnv_input = dict(zip(clone_names, L.T))
@@ -154,6 +157,7 @@ def cmd_fit(args) -> int:
             ("--likelihood-impl",
              args.likelihood_impl not in ("auto", "cheb")),
             ("--stream", args.stream),
+            ("--allow-fractional", args.allow_fractional),
         ]
         bad = [flag for flag, set_ in unsupported if set_]
         if bad:
@@ -197,6 +201,7 @@ def cmd_fit(args) -> int:
         verbose=not args.quiet,
         y_storage=None if args.y_storage == "float32" else args.y_storage,
         likelihood_impl=args.likelihood_impl,
+        allow_fractional=args.allow_fractional,
     )
     if args.stream:
         if args.restarts != 1:
@@ -240,7 +245,7 @@ def cmd_assign(args) -> int:
     import collections
 
     fit = _load_fit(args.fit)
-    Y, _genes, cell_names = _load_counts(args.counts, args.transpose)
+    Y, _genes, cell_names = _load_counts(args.counts, args.transpose, args.layer)
     L, _names = _load_cnv(args.cnv)
     from .models.negbin import ClonealignV1Fit, classify_cells
 
@@ -327,6 +332,17 @@ def main(argv=None) -> int:
     p_fit.add_argument("--cnv", required=True, help="CSV (header = clone names) or .npz copy-number matrix (genes x clones)")
     p_fit.add_argument("--out", required=True, help="output fit (.npz, or .rds for R's readRDS)")
     p_fit.add_argument("--transpose", action="store_true", help="counts file is genes x cells (e.g. raw .mtx from CellRanger)")
+    p_fit.add_argument(
+        "--layer", default=None,
+        help=".h5ad only: read layers/<name> (e.g. 'counts') instead of X — "
+        "scanpy pipelines usually leave normalized data in X",
+    )
+    p_fit.add_argument(
+        "--allow-fractional", action="store_true",
+        help="fit fractional (non-integer) expression values instead of "
+        "rejecting them; the model is a count likelihood, so prefer raw "
+        "counts (--layer counts for scanpy .h5ad files)",
+    )
     p_fit.add_argument("--preprocess", action="store_true", help="run preprocess_for_clonealign first")
     p_fit.add_argument(
         "--model", default="multinomial", choices=["multinomial", "negbin-v1"],
@@ -378,6 +394,10 @@ def main(argv=None) -> int:
     p_as.add_argument("--cnv", required=True, help="copy numbers over the fit's retained genes")
     p_as.add_argument("--out", required=True, help="output assignments .npz")
     p_as.add_argument("--transpose", action="store_true")
+    p_as.add_argument(
+        "--layer", default=None,
+        help=".h5ad only: read layers/<name> (e.g. 'counts') instead of X",
+    )
     p_as.add_argument("--clone-call-probability", type=float, default=0.95)
     p_as.add_argument(
         "--latent", choices=("auto", "ignore", "refine"), default="auto",

@@ -362,6 +362,14 @@ def setup_fit(
             "likelihood_impl must be one of 'auto', 'xla', "
             f"'z_cheb'; got {likelihood_impl!r}"
         )
+    if likelihood_impl == "z_cheb":
+        # validate the K/P support eagerly — a pure configuration error must
+        # surface BEFORE the (possibly ~20 s at headline scale) host
+        # validation + device upload in prepare_data below
+        mm._use_z_cheb(mm.ModelConfig(
+            K=K, P=P, mc_samples=int(mc_samples), fix_alpha=fix_alpha,
+            likelihood_impl="z_cheb",
+        ))
     # int16/int8 store counts EXACTLY (bf16 rounds above 256) and are the
     # fastest options (docs/design.md section 2); prepare_data raises if any
     # count would overflow the range. "auto" picks the narrowest exact
@@ -396,9 +404,26 @@ def setup_fit(
             keep = np.flatnonzero(~low)
             Y = Y[:, ~low]  # host copy for the QC fallbacks (ctx.Y)
             L = L[~low]
-            Yd = jnp.take(data.Y, jnp.asarray(keep, jnp.int32), axis=1)
+            stored_Y = data.Y
             del data
-            data = mm.prepare_data(Yd, L, x=x, dtype=jdtype, y_storage=storage)
+            if storage == jnp.bfloat16:
+                # bf16 storage is LOSSY above 256: re-preparing from the
+                # stored device matrix would compute s/log_binom/colsum from
+                # ROUNDED counts, violating prepare_data's stats-before-
+                # downcast contract — rebuild from the exact host counts
+                # (costs a second wire pass only on this rare
+                # bf16-and-genes-filtered combination)
+                del stored_Y
+                data = mm.prepare_data(Y, L, x=x, dtype=jdtype,
+                                       y_storage=storage)
+            else:
+                # exact storages: gather the kept columns on device — the
+                # stored values ARE the counts, so the re-run stats are exact
+                # and the wire pass is never repeated
+                Yd = jnp.take(stored_Y, jnp.asarray(keep, jnp.int32), axis=1)
+                del stored_Y  # release the unfiltered device buffer
+                data = mm.prepare_data(Yd, L, x=x, dtype=jdtype,
+                                       y_storage=storage)
         if gene_names is not None:
             retained_genes = [g for g, drop in zip(gene_names, low) if not drop]
         else:

@@ -160,7 +160,14 @@ def multirun_calls_device(gamma_logits, threshold):
 
         _calls_jit = jax.jit(prog)
 
-    called, counts = _calls_jit(gamma_logits, jnp.float32(threshold))
+    # compare in the LOGITS dtype, exactly as the host path does (numpy 2
+    # weak-scalar promotion casts the python-float threshold to probs.dtype
+    # in clone_assignment); a hard-coded f32 cast would diverge from the
+    # host compare on float64 fits at borderline probabilities
+    gamma_logits = jnp.asarray(gamma_logits)
+    called, counts = _calls_jit(
+        gamma_logits, jnp.asarray(threshold, gamma_logits.dtype)
+    )
     return np.asarray(called), np.asarray(counts)
 
 

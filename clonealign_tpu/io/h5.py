@@ -56,7 +56,17 @@ def _sparse_group_to_scipy(g, shape, key):
     enc = _attr(g.attrs, "encoding-type") or _attr(g.attrs, "h5sparse_format")
     if enc is None and all(k in g for k in ("data", "indices", "indptr")):
         # no declared encoding but the canonical CSR layout: anndata's CSR
-        # indptr has n_obs + 1 entries, CSC has n_var + 1
+        # indptr has n_obs + 1 entries, CSC has n_var + 1. For a SQUARE
+        # matrix the indptr length matches both layouts and guessing wrong
+        # silently transposes the data — refuse instead of mis-reading.
+        if shape[0] == shape[1]:
+            raise ValueError(
+                f"sparse group {key!r} declares no encoding (no "
+                "'encoding-type'/'h5sparse_format' attr) and the matrix is "
+                f"square ({shape[0]}x{shape[1]}), so CSR vs CSC cannot be "
+                "inferred from the indptr length; re-write the file with "
+                "anndata >= 0.7 or add the encoding attr"
+            )
         n = g["indptr"].shape[0] - 1
         enc = "csr" if n == shape[0] else "csc"
     if enc is None or not ("csr" in enc or "csc" in enc):

@@ -84,6 +84,14 @@ class COOMatrix(NamedTuple):
         np.add.at(out, (self.rows, self.cols), self.vals)
         return out
 
+    def tocsr(self):
+        """scipy CSR (duplicates summed, matching todense's add-at)."""
+        import scipy.sparse as sp
+
+        return sp.coo_matrix(
+            (self.vals, (self.rows, self.cols)), shape=self.shape
+        ).tocsr()
+
 
 def _err_buf():
     return ctypes.create_string_buffer(256)
@@ -168,12 +176,7 @@ def load_cellranger_dir(path: str, transpose: bool = True, dense: bool = False):
     if dense:
         Y = read_mtx(mtx, dense=True, transpose=transpose)  # genes-major on disk
     else:
-        import scipy.sparse as sp
-
-        coo = read_mtx(mtx, dense=False, transpose=transpose)
-        Y = sp.coo_matrix(
-            (coo.vals, (coo.rows, coo.cols)), shape=coo.shape
-        ).tocsr()
+        Y = read_mtx(mtx, dense=False, transpose=transpose).tocsr()
 
     def read_tsv_col(p, col=0):
         if p is None:

@@ -187,7 +187,14 @@ def assign_cells(
     from .utils.sparsity import is_scipy_sparse as _is_sparse
 
     sparse = _is_sparse(Y_new)
-    if not sparse:
+    if sparse:
+        # canonicalize FIRST: COO (and non-canonical CSR) may hold duplicate
+        # entries that sum on conversion — the wire dtype must be chosen
+        # from the summed values or a true count of e.g. 200 stored as two
+        # 100-entries would pick int8 and wrap to -56 in the downcast
+        Y_new = Y_new.tocsr()
+        Y_new.sum_duplicates()
+    else:
         Y_new = np.asarray(Y_new)
     G = len(fit.ml_params["mu"])
     if Y_new.ndim != 2 or Y_new.shape[1] != G:
@@ -222,8 +229,10 @@ def assign_cells(
         # so the host never holds an N x G densification
         from .utils.sparsity import device_dense_from_sparse_rows
 
-        store = _narrowest_exact(Y_new.data)  # zeros are in-range for any dtype
-        Yd = device_dense_from_sparse_rows(Y_new.tocsr(), np.dtype(store))
+        # Y_new is canonical CSR (duplicates summed above), so .data holds
+        # the true stored values; zeros are in-range for any dtype
+        store = _narrowest_exact(Y_new.data)
+        Yd = device_dense_from_sparse_rows(Y_new, np.dtype(store))
     else:
         Yd = jnp.asarray(Y_new.astype(_narrowest_exact(Y_new)))
     Ld = jnp.asarray(L, jnp.float32)

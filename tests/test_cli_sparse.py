@@ -165,3 +165,52 @@ def test_cli_sparse_assign_roundtrip(tmp_path):
     z = np.load(str(tmp_path / "asg.npz"), allow_pickle=False)
     assert z["clone_probs"].shape == (40, 2)
     assert len(z["clone"]) == 40
+
+
+def test_cli_h5ad_layer_and_allow_fractional(tmp_path):
+    """Scanpy-shaped files (normalized X, raw counts in layers/counts) must
+    be reachable from the CLI: --layer selects the counts layer; without it
+    the integrality contract rejects the normalized X with the named fix,
+    and --allow-fractional is the explicit escape hatch."""
+    from clonealign_tpu.__main__ import main
+    from clonealign_tpu.synth import simulate_multinomial
+
+    sim = simulate_multinomial(N=40, G=25, C=2, seed=5, mean_total=400)
+    counts = sp.csr_matrix(sim.Y.astype(np.int32))
+    normalized = counts.astype(np.float64).copy()
+    normalized.data = np.log1p(normalized.data)  # fractional values
+    p = str(tmp_path / "scanpy.h5ad")
+    with h5py.File(p, "w") as f:
+        for key, m in (("X", normalized), ("layers/counts", counts)):
+            g = f.create_group(key)
+            g.attrs["encoding-type"] = "csr_matrix"
+            g.attrs["shape"] = m.shape
+            g["data"] = m.data
+            g["indices"] = m.indices
+            g["indptr"] = m.indptr
+    with open(tmp_path / "cnv.csv", "w") as fh:
+        fh.write("A,B\n")
+        for row in sim.L:
+            fh.write(",".join(str(int(v)) for v in row) + "\n")
+    common = ["--cnv", str(tmp_path / "cnv.csv"), "--max-iter", "10",
+              "--seed", "0", "--quiet"]
+
+    # normalized X -> rejected, message names the layer fix
+    with pytest.raises(ValueError, match="fractional"):
+        main(["fit", "--counts", p, "--out", str(tmp_path / "f0.npz")]
+             + common)
+
+    # --layer counts -> the raw counts fit
+    rc = main(["fit", "--counts", p, "--layer", "counts",
+               "--out", str(tmp_path / "f1.npz")] + common)
+    assert rc == 0
+
+    # --allow-fractional -> explicit opt-in fits the normalized values
+    rc = main(["fit", "--counts", p, "--allow-fractional",
+               "--out", str(tmp_path / "f2.npz")] + common)
+    assert rc == 0
+
+    from clonealign_tpu.fit import ClonealignFit
+
+    f1 = ClonealignFit.load(str(tmp_path / "f1.npz"))
+    assert len(f1.clone) == 40

@@ -269,3 +269,118 @@ def test_prefetched_preserves_order_and_exceptions():
             out.append(v)
     # chunks before the bad one were produced; the bad one never yielded
     assert out == [0, 1]
+
+
+# --- round-5 self-review fixes ---------------------------------------------
+
+def test_defer_filter_bf16_rebuilds_from_exact_host_counts():
+    """bf16 storage rounds counts above 256; when the deferred gene filter
+    drops genes, the re-prepared statistics must come from the EXACT host
+    counts, not the rounded device matrix (prepare_data's
+    stats-before-downcast contract)."""
+    Y, L = _toy(N=40, G=16)
+    Y = Y.astype(np.int16)
+    Y[0, 0] = 1001          # not bf16-representable (stores as 1000)
+    Y[1, 1] = 517           # rounds to 516
+    Y[:, 3] = 0             # trigger the deferred filter
+    ctx_def = _api.setup_fit(Y, L, y_storage="bfloat16", verbose=False)
+    # float input disables the deferred path -> host filter, exact stats
+    ctx_host = _api.setup_fit(
+        Y.astype(np.float64), L, y_storage="bfloat16", verbose=False
+    )
+    for field in ("s", "log_binom", "colsum_Y"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ctx_def.data, field), np.float64),
+            np.asarray(getattr(ctx_host.data, field), np.float64),
+            rtol=1e-6, err_msg=field,
+        )
+
+
+def test_defer_filter_exact_storage_gather_still_exact():
+    """The device-gather rebuild (exact int storages) stays bit-exact."""
+    Y, L = _toy(N=40, G=16)
+    Y[:, 7] = 0
+    ctx_int = _api.setup_fit(Y, L, y_storage="int16", verbose=False)
+    ctx_host = _api.setup_fit(
+        Y.astype(np.float64), L, y_storage="int16", verbose=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(ctx_int.data.s, np.float64),
+        np.asarray(ctx_host.data.s, np.float64), rtol=1e-6,
+    )
+
+
+def test_assign_cells_sparse_duplicates_match_dense():
+    """Duplicate COO entries sum on canonicalization; the serving wire dtype
+    must be chosen AFTER that sum (two 100-entries at one position are a
+    true count of 200 — an int8 wire picked from the raw .data would wrap
+    it to -56)."""
+    sp = pytest.importorskip("scipy.sparse")
+    from clonealign_tpu.serve import assign_cells
+
+    Y, L = _toy(N=50, G=20)
+    fit = ca.clonealign(Y, L, max_iter=5, seed=1, verbose=False)
+    kept = np.asarray([int(g) for g in fit.retained_genes])
+    Lk = L[kept]
+    rng = np.random.default_rng(0)
+    Yn = rng.poisson(3.0, size=(8, len(kept))).astype(np.int64)
+    Yn[Yn.sum(axis=1) == 0, 0] = 1
+    Yn[0, 1] = 0
+    base = sp.coo_matrix(Yn)
+    rows = np.append(base.row, [0, 0])
+    cols = np.append(base.col, [1, 1])
+    vals = np.append(base.data, [100, 100])  # sums to 200 > int8 max
+    dup = sp.coo_matrix((vals, (rows, cols)), shape=Yn.shape)
+    dense_equiv = Yn.copy()
+    dense_equiv[0, 1] = 200
+
+    clones_sp, probs_sp = assign_cells(fit, dup, Lk)
+    clones_d, probs_d = assign_cells(fit, dense_equiv, Lk)
+    assert clones_sp == clones_d
+    np.testing.assert_allclose(probs_sp, probs_d, rtol=1e-6, atol=1e-7)
+
+
+def test_h5ad_square_undeclared_sparse_raises(tmp_path):
+    """A square sparse X with no declared encoding is ambiguous (CSR and CSC
+    have the same indptr length); guessing wrong would silently transpose
+    the matrix, so the reader must refuse."""
+    h5py = pytest.importorskip("h5py")
+    sp = pytest.importorskip("scipy.sparse")
+    from clonealign_tpu.io.h5 import read_h5ad
+
+    m = sp.random(6, 6, density=0.5, format="csc", random_state=0)
+    p = str(tmp_path / "sq.h5ad")
+    with h5py.File(p, "w") as f:
+        g = f.create_group("X")
+        g.attrs["shape"] = m.shape
+        g["data"] = m.data
+        g["indices"] = m.indices
+        g["indptr"] = m.indptr
+    with pytest.raises(ValueError, match="square"):
+        read_h5ad(p)
+
+
+def test_z_cheb_config_error_raises_before_data_prep(monkeypatch):
+    """An invalid z_cheb configuration (K>1) must fail BEFORE the host
+    validation + device upload — at headline scale that work costs ~20 s."""
+    from clonealign_tpu.models import multinomial as mm
+
+    def bomb(*a, **k):
+        raise AssertionError("prepare_data ran before config validation")
+
+    monkeypatch.setattr(mm, "prepare_data", bomb)
+    Y, L = _toy(N=30, G=12)
+    with pytest.raises(ValueError, match="z_cheb"):
+        _api.setup_fit(Y, L, K=2, likelihood_impl="z_cheb", verbose=False)
+
+
+def test_coo_matrix_tocsr_sums_duplicates():
+    from clonealign_tpu.io.mtx import COOMatrix
+
+    m = COOMatrix(
+        rows=np.array([0, 0, 1]), cols=np.array([1, 1, 0]),
+        vals=np.array([2.0, 3.0, 4.0]), shape=(2, 2),
+    )
+    csr = m.tocsr()
+    np.testing.assert_array_equal(csr.toarray(), m.todense())
+    assert csr.toarray()[0, 1] == 5.0
