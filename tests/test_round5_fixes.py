@@ -384,3 +384,27 @@ def test_coo_matrix_tocsr_sums_duplicates():
     csr = m.tocsr()
     np.testing.assert_array_equal(csr.toarray(), m.todense())
     assert csr.toarray()[0, 1] == 5.0
+
+
+def test_multirun_calls_device_borderline_threshold_float64():
+    """The device call-threshold compare must happen in the LOGITS dtype:
+    float64 probabilities densely straddling 0.95 (between float32(0.95)
+    ~= 0.9499999880 and 0.95) must call exactly as the float64 host
+    compare — a hard-coded float32 threshold on the device would call all
+    of them."""
+    import jax.numpy as jnp
+
+    p = np.linspace(0.94999990, 0.95000010, 201)  # straddles f32(0.95)
+    gl = np.stack([np.log(p), np.log1p(-p)], axis=-1)  # softmax ~= [p, 1-p]
+    gl64 = jnp.asarray(gl[None], jnp.float64)          # (1, N, 2) lanes
+    called, counts = multirun_calls_device(gl64, 0.95)
+
+    import jax
+
+    probs = np.asarray(jax.nn.softmax(gl64, axis=-1), np.float64)[0]
+    host = clone_assignment(probs, ["a", "b"], 0.95)
+    host_idx = np.asarray([2 if c == "unassigned" else ("a", "b").index(c)
+                           for c in host])
+    np.testing.assert_array_equal(called[0], host_idx)
+    # both called and unassigned cells must appear in this window
+    assert (called[0] == 2).any() and (called[0] != 2).any()
