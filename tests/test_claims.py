@@ -92,7 +92,11 @@ _RANGE_X = re.compile(r"(\d+)\s*[–—-]\s*(\d+)×")
 _SESSION_NOISE_S = 0.03
 
 
-@pytest.mark.parametrize("relpath", ["README.md", "PARITY.md"])
+@pytest.mark.parametrize(
+    "relpath",
+    ["README.md", "PARITY.md"]
+    + [p for p in CLAIM_FILES if p.startswith("docs")],
+)
 def test_headline_range_covers_newest_bench(relpath):
     """Round-4 verdict weak item 1: the README's quoted headline range
     (0.56–0.59 s / 816–853×) went stale against the newest driver artifact
@@ -133,5 +137,9 @@ def test_headline_range_covers_newest_bench(relpath):
                     f"{relpath} quotes {lo}-{hi}x but {fname} measured "
                     f"{vs}x (outside the noise margin)"
                 )
-    assert checked, f"{relpath} quotes no headline range near the 100k shape"
+    if relpath in ("README.md", "PARITY.md"):
+        # the two front-line claim files MUST carry a guarded headline;
+        # docs pages may simply not quote one (then there is nothing to
+        # drift and nothing to check)
+        assert checked, f"{relpath} quotes no headline range near the 100k shape"
     assert not problems, "; ".join(problems)
