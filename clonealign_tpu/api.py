@@ -445,6 +445,17 @@ def setup_fit(
             "Some cells have no counts mapping"
         )  # reference R/inference-tflow.R:212-214
 
+    # normalize numpy booleans (np.True_, 0-d bool arrays — e.g. flags read
+    # from pandas/numpy configs) to python bool: the fit drivers classify
+    # data_init_mu with isinstance(..., bool), and a np.bool_ would fall
+    # into the "array" branch, producing a shape-() mu init that crashes
+    # inside the jitted program (round-5 review finding)
+    if isinstance(data_init_mu, np.bool_) or (
+        isinstance(data_init_mu, np.ndarray)
+        and data_init_mu.ndim == 0
+        and data_init_mu.dtype == np.bool_
+    ):
+        data_init_mu = bool(data_init_mu)
     return FitContext(
         Y=Y,
         L=L,

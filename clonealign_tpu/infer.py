@@ -172,17 +172,25 @@ def run_inference(
         window = jnp.roll(st.window, -1).at[-1].set(diff)
         trace = st.trace.at[st.i + 1].set(elbo_new)
         new = _LoopState(params, opt_state, key, elbo_new, window, trace, st.i + 1)
+        keep = active(st)
         if progress:
             # opt-in analog of the reference's per-iteration progress bar
-            # (reference R/inference-tflow.R:384-398); host callback per step
+            # (reference R/inference-tflow.R:384-398); host callback per
+            # step. The keep flag travels with the values: under
+            # loop_impl="scan" the body still executes after convergence
+            # (its results are frozen out by the jnp.where below), and
+            # printing those phantom iterations would misreport both the
+            # iteration count and the ELBO path (round-5 review finding).
+            def _report(i, e, c, k):
+                if bool(k):
+                    print(
+                        f"  VB iter {int(i):4d}  elbo {float(e):.4f}  "
+                        f"mean|Δ| {float(c):.3e}"
+                    )
+
             jax.debug.callback(
-                lambda i, e, c: print(
-                    f"  VB iter {int(i):4d}  elbo {float(e):.4f}  "
-                    f"mean|Δ| {float(c):.3e}"
-                ),
-                st.i + 1, elbo_new, jnp.mean(jnp.abs(window)),
+                _report, st.i + 1, elbo_new, jnp.mean(jnp.abs(window)), keep
             )
-        keep = active(st)
         return jax.tree.map(lambda n, o: jnp.where(keep, n, o), new, st)
 
     st = _LoopState(

@@ -278,6 +278,7 @@ def prepare_data(Y, L, x=None, dtype=jnp.float32, y_storage=None) -> ModelData:
             _check_integer_storage(Yf, y_storage)
             Yf = Yf.astype(y_storage)
         Y = Yf
+    _check_cells_feasible(B)
     return ModelData(
         Y=Y, L=L, X=X, s=s, log_binom=log_binom, YlogL=B, colsum_Y=colsum
     )
@@ -507,6 +508,59 @@ def _prefetched(idxs, make):
             yield c
 
 
+@functools.lru_cache(maxsize=None)
+def _row_writer(donate: bool):
+    """Donated dynamic-update-slice: fill a preallocated (N, G) device
+    buffer one row chunk at a time. With donation (TPU) the write is in
+    place, so assembling Y from chunks peaks at N x G x storage_bytes +
+    one chunk — a ``jnp.concatenate`` of all chunks would transiently hold
+    TWO full copies (16 GB at 1M x 2k float32 on a 16 GB chip — round-5
+    review finding). CPU ignores donation (copies); correctness is
+    unchanged, so the donate flag just silences the unusable-donation
+    warning there. The chunk offset is passed as a traced scalar so all
+    equal-shaped chunks share one compiled program (body + tail = two)."""
+
+    def write(buf, rows, off):
+        zero = jnp.zeros((), off.dtype)  # match off's dtype under x64
+        return jax.lax.dynamic_update_slice(buf, rows, (off, zero))
+
+    return jax.jit(write, donate_argnums=(0,) if donate else ())
+
+
+@functools.lru_cache(maxsize=None)
+def _assembly_strategy() -> str:
+    """How to assemble device Y from row chunks.
+
+    'donate' (real TPU): in-place donated writes — peak device memory is
+    the buffer + one in-flight chunk. 'concat' (the axon development
+    tunnel): chaining donated executions through the tunnel deadlocks the
+    read of the final buffer (measured round 5 — a 3-write chain plus
+    ``jnp.sum`` fetch hangs; the same chain on a real TPU runtime aliases
+    correctly), so fall back to one concatenate (the pre-round-5 peak, on
+    a harness where HBM is never the constraint). 'fill' (CPU and
+    everything else): the writer path without donation — content-identical,
+    exercised by the CPU test suite."""
+    d = jax.devices()[0]
+    version = str(getattr(d.client, "platform_version", ""))
+    if d.platform == "tpu":
+        return "concat" if "axon" in version.lower() else "donate"
+    return "fill"
+
+
+def _fill_rows(parts, N, G, store_dt):
+    """Assemble (N, G) storage-dtype Y from an iterator of (offset, chunk)
+    pairs via the backend's :func:`_assembly_strategy`."""
+    strat = _assembly_strategy()
+    if strat == "concat":
+        chunks = [c for _, c in parts]
+        return jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+    write = _row_writer(strat == "donate")
+    buf = jnp.zeros((N, G), dtype=store_dt)
+    for off, c in parts:
+        buf = write(buf, c, jnp.asarray(off, jnp.int32))
+    return buf
+
+
 def _prepare_data_dense_chunked(Y, L, x=None, dtype=jnp.float32, y_storage=None):
     """Row-chunked version of the dense prepare path (same outputs; see
     prepare_data). Statistics stream through the device one chunk at a time,
@@ -557,14 +611,15 @@ def _prepare_data_dense_chunked(Y, L, x=None, dtype=jnp.float32, y_storage=None)
         if isinstance(Y, jax.Array):
             Yw = Y  # stats read it in place
         else:
-            y_parts = [
-                jnp.asarray(c)
-                for c in _prefetched(list(range(0, N, chunk)), _host_chunk)
-            ]
-            Yw = (
-                jnp.concatenate(y_parts, axis=0) if len(y_parts) > 1 else y_parts[0]
-            )
-            del y_parts
+            offs = list(range(0, N, chunk))
+            if len(offs) == 1:
+                Yw = jnp.asarray(_host_chunk(0))
+            else:
+                Yw = _fill_rows(
+                    zip(offs, (jnp.asarray(c)
+                               for c in _prefetched(offs, _host_chunk))),
+                    N, G, store_dt,
+                )
         table = _stats_table_for(Yw.dtype, dtype)
         block = min(chunk, N)
         nb = -(-N // block)
@@ -618,11 +673,21 @@ def _prepare_data_dense_chunked(Y, L, x=None, dtype=jnp.float32, y_storage=None)
         table = (
             _stats_table_for(shipped_dt, dtype) if shipped_dt is not None else None
         )
-        s_parts, lb_parts, B_parts, y_parts = [], [], [], []
+        offs = list(range(0, N, chunk))
+        s_parts, lb_parts, B_parts = [], [], []
         colsum = jnp.zeros((G,), dtype)
         ymax = -np.inf
         max_nonint = 0.0
-        for hc in _prefetched(list(range(0, N, chunk)), _host_chunk):
+        # multi-chunk: fill a preallocated storage buffer in place
+        # (_row_writer) instead of concatenating all parts at the end —
+        # the concatenate transiently held TWO full storage copies.
+        # _assembly_strategy falls back to the concatenate on backends
+        # where donated-write chains are unsafe (axon tunnel).
+        strat = _assembly_strategy() if len(offs) > 1 else None
+        writer = _row_writer(strat == "donate") if strat in ("donate", "fill") else None
+        Yd = jnp.zeros((N, G), dtype=store) if writer is not None else None
+        y_parts = [] if strat == "concat" else None
+        for off, hc in zip(offs, _prefetched(offs, _host_chunk)):
             yc = jnp.asarray(hc)
             if table is not None:
                 s_c, lb_c, B_c, cs, mx_c, ni_c, mn_c = _chunk_stats_table(
@@ -643,13 +708,19 @@ def _prepare_data_dense_chunked(Y, L, x=None, dtype=jnp.float32, y_storage=None)
             colsum = colsum + cs
             ymax = max(ymax, float(mx_c))
             max_nonint = max(max_nonint, float(ni_c))
-            y_parts.append(yc.astype(store))
+            if writer is not None:
+                Yd = writer(Yd, yc.astype(store), jnp.asarray(off, jnp.int32))
+            elif y_parts is not None:
+                y_parts.append(yc.astype(store))
+            else:
+                Yd = yc.astype(store)
             del yc
+        if y_parts is not None:
+            Yd = jnp.concatenate(y_parts, axis=0)
+            del y_parts
         s_all = jnp.concatenate(s_parts) if len(s_parts) > 1 else s_parts[0]
         lb_all = jnp.concatenate(lb_parts) if len(lb_parts) > 1 else lb_parts[0]
         B_all = jnp.concatenate(B_parts, axis=0) if len(B_parts) > 1 else B_parts[0]
-        Yd = jnp.concatenate(y_parts, axis=0) if len(y_parts) > 1 else y_parts[0]
-        del y_parts
 
     if y_storage is not None and jnp.issubdtype(jnp.dtype(y_storage), jnp.integer):
         info = jnp.iinfo(jnp.dtype(y_storage))
@@ -663,6 +734,7 @@ def _prepare_data_dense_chunked(Y, L, x=None, dtype=jnp.float32, y_storage=None)
                 "integer y_storage requires integer counts; found fractional values"
             )
 
+    _check_cells_feasible(B_all)
     return ModelData(
         Y=Yd,
         L=L,
@@ -687,9 +759,41 @@ def _check_integer_storage(Y, y_storage):
             f"count ({float(jnp.max(Y)):.0f} > {info.max}); use "
             "int16/bfloat16/float32"
         )
+    # both wrap directions, like _host_check_lossless on the host-wire path:
+    # a negative count below the storage's lower bound would wrap positive
+    # in the downcast while the precomputed stats used the true value
+    if float(jnp.min(Y)) < 0:
+        raise ValueError(
+            "gene_expression_data must be non-negative raw counts"
+        )
     if float(jnp.max(jnp.abs(Y - jnp.round(Y)))) != 0.0:
         raise ValueError(
             "integer y_storage requires integer counts; found fractional values"
+        )
+
+
+def _check_cells_feasible(B):
+    """Every cell needs >= 1 clone with finite YlogL. A cell with nonzero
+    counts at a zero-copy-number gene in EVERY clone has zero likelihood
+    under the whole model: the warm start pins all its clone logits to the
+    same floor, its gamma row goes uniform instead of zero, and the
+    unmasked ``gamma * (-inf)`` NaNs the entire fit with a misleading
+    "inference diverged" error (round-5 review finding). The reference
+    would NaN on the same input (TFP ``y * log(0)``, SURVEY §2.4); here it
+    is a typed input error instead."""
+    if isinstance(B, np.ndarray):  # host-computed stats (sparse path): no
+        bad = ~np.isfinite(B).any(axis=1)  # device round-trip for the check
+    else:
+        bad = ~jnp.any(jnp.isfinite(B), axis=1)
+    n_bad = int(bad.sum())
+    if n_bad:
+        first = int(bad.argmax())
+        raise ValueError(
+            f"{n_bad} cell(s) have nonzero counts at genes whose copy "
+            f"number is 0 in every clone (first: cell {first}) — no clone "
+            "can explain them. Remove these cells, or fix the copy-number "
+            "matrix (genes with copy number 0 across all clones are "
+            "removed by preprocess_for_clonealign)."
         )
 
 
@@ -713,6 +817,10 @@ def prepare_data_sparse(
     N, G = Y.shape
     data64 = Y.data.astype(np.float64)
     L = np.asarray(L, np.float64)
+    # validate BEFORE the stats: gammaln(negative) would emit inf-inf NaN
+    # warnings from the very pass whose job is to reject the input
+    if y_storage is not None:
+        _check_integer_storage(data64, y_storage)
 
     row = np.repeat(np.arange(N), np.diff(Y.indptr))
     s = np.bincount(row, weights=data64, minlength=N)
@@ -725,14 +833,13 @@ def prepare_data_sparse(
     B = np.where(hits_zero, -np.inf, B)
 
     store = dtype if y_storage is None else y_storage
-    if y_storage is not None:
-        _check_integer_storage(data64, y_storage)
     np_store = np.dtype(store) if store != jnp.bfloat16 else jnp.bfloat16
     from ..utils.sparsity import device_dense_from_sparse_rows
 
     Yd = device_dense_from_sparse_rows(Y, np_store, chunk)
 
     colsum = np.asarray(Y.sum(axis=0)).ravel()
+    _check_cells_feasible(np.asarray(B))
     return ModelData(
         Y=Yd,
         L=jnp.asarray(L, dtype),

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import assign as _assign
-from .api import _package_fit, setup_fit
+from .api import _mu_init_array, _package_fit, setup_fit
 from .infer import run_inference
 from .models import multinomial as mm
 
@@ -185,8 +185,6 @@ def run_clonealign(
     if key is None:
         key = jax.random.PRNGKey(0 if seed is None else int(seed))
     keys = jax.random.split(key, R)
-
-    from .api import _mu_init_array
 
     results = _sweep_program(
         keys,

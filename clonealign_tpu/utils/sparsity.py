@@ -22,9 +22,16 @@ def device_dense_from_sparse_rows(Y, store_dtype, chunk: int = 32_768):
     import jax.numpy as jnp
 
     Y = Y.tocsr()
-    N = Y.shape[0]
-    parts = [
-        jnp.asarray(Y[i: i + chunk].toarray().astype(store_dtype))
-        for i in range(0, N, chunk)
-    ]
-    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    N, G = Y.shape
+    offs = list(range(0, N, chunk))
+    if len(offs) == 1:
+        return jnp.asarray(Y.toarray().astype(store_dtype))
+    # donated in-place row writes: a concatenate of all chunks would
+    # transiently hold two full storage copies on device (round-5 review)
+    from ..models.multinomial import _fill_rows
+
+    return _fill_rows(
+        ((off, jnp.asarray(Y[off: off + chunk].toarray().astype(store_dtype)))
+         for off in offs),
+        N, G, store_dtype,
+    )

@@ -408,3 +408,94 @@ def test_multirun_calls_device_borderline_threshold_float64():
     np.testing.assert_array_equal(called[0], host_idx)
     # both called and unassigned cells must appear in this window
     assert (called[0] == 2).any() and (called[0] != 2).any()
+
+
+# --- round-5 core-path review fixes ----------------------------------------
+
+def test_all_clones_impossible_cell_raises_typed_error():
+    """A cell with nonzero counts at a zero-CN gene in EVERY clone has zero
+    likelihood under the whole model; it used to defeat the warm-start
+    pinning (uniform gamma x -inf clone_ll) and NaN the entire fit with a
+    misleading 'inference diverged' error. Now it is a typed input error
+    from prepare_data, on every ingestion path."""
+    from clonealign_tpu.models import multinomial as mm
+
+    Y, L = _toy(N=30, G=12)
+    L = L.copy()
+    L[2, :] = 0.0          # gene 2 impossible in every clone
+    Y[:, 2] = 0
+    Y[4, 2] = 3            # cell 4 expresses it -> infeasible everywhere
+    with pytest.raises(ValueError, match="no clone can explain"):
+        mm.prepare_data(np.asarray(Y, np.float64), L)
+    # sparse path
+    sp = pytest.importorskip("scipy.sparse")
+    with pytest.raises(ValueError, match="no clone can explain"):
+        mm.prepare_data_sparse(sp.csr_matrix(Y.astype(np.int32)), L)
+    # and through the public driver
+    with pytest.raises(ValueError, match="no clone can explain"):
+        ca.clonealign(Y, L, max_iter=3, verbose=False)
+
+
+def test_partially_impossible_cell_still_fits():
+    """A cell that is impossible for SOME clones (but not all) keeps the
+    documented xlogy semantics: zero responsibility there, finite fit."""
+    Y, L = _toy(N=30, G=12)
+    L = L.copy()
+    L[2, 0] = 0.0          # clone 0 impossible for expressers of gene 2
+    L[2, 1:] = 2.0
+    Y[:, 2] = 0
+    Y[4, 2] = 3
+    fit = ca.clonealign(Y, L, max_iter=5, verbose=False)
+    assert np.isfinite(fit.convergence_info.final_elbo)
+    assert float(fit.ml_params["clone_probs"][4, 0]) == 0.0
+
+
+def test_numpy_bool_data_init_mu():
+    """np.True_/np.False_ (e.g. a flag read from a pandas/numpy config)
+    must classify as the boolean switch, not as a mu init array."""
+    Y, L = _toy(N=30, G=12)
+    for flag in (np.bool_(True), np.bool_(False), np.array(True)):
+        fit = ca.clonealign(Y, L, data_init_mu=flag, max_iter=3,
+                            seed=0, verbose=False)
+        assert np.isfinite(fit.convergence_info.final_elbo)
+    ref = ca.clonealign(Y, L, data_init_mu=True, max_iter=3, seed=0,
+                        verbose=False)
+    got = ca.clonealign(Y, L, data_init_mu=np.bool_(True), max_iter=3,
+                        seed=0, verbose=False)
+    assert ref.convergence_info.final_elbo == got.convergence_info.final_elbo
+    rs = ca.run_clonealign(Y, L, initial_shrinks=(5,), n_repeats=2,
+                           data_init_mu=np.bool_(True), max_iter=3, seed=0,
+                           print_elbos=False, verbose=False)
+    assert np.isfinite(rs.convergence_info.final_elbo)
+
+
+def test_sparse_negative_count_rejected_not_wrapped():
+    """prepare_data_sparse with integer storage must reject negative counts
+    (the direct sharded_fit path bypasses api._validate_counts); before,
+    -129 wrapped to +127 in the int8 downcast while the host stats used
+    the true value, NaNing the fit with a 'lower learning_rate' error."""
+    sp = pytest.importorskip("scipy.sparse")
+    import jax.numpy as jnp
+
+    from clonealign_tpu.models import multinomial as mm
+
+    Y, L = _toy(N=30, G=12)
+    Ys = Y.astype(np.int32)
+    Ys[0, 0] = -129
+    with pytest.raises(ValueError, match="non-negative"):
+        mm.prepare_data_sparse(sp.csr_matrix(Ys), L, y_storage=jnp.int8)
+
+
+def test_fill_rows_matches_concatenate():
+    """The donated row-writer assembly is value-identical to a concatenate
+    of the same chunks (the memory-contract fix must not change content)."""
+    import jax.numpy as jnp
+
+    from clonealign_tpu.models.multinomial import _fill_rows
+
+    rng = np.random.default_rng(0)
+    A = rng.integers(0, 100, size=(37, 9)).astype(np.int8)
+    chunks = [(0, jnp.asarray(A[0:16])), (16, jnp.asarray(A[16:32])),
+              (32, jnp.asarray(A[32:37]))]
+    out = _fill_rows(iter(chunks), 37, 9, jnp.int8)
+    np.testing.assert_array_equal(np.asarray(out), A)
